@@ -1,0 +1,98 @@
+"""CLI driver — reference parity with ./BSMR-sddmm (src/main.cu:6-42,
+include/Options.hpp:49-76): `-f` matrix file, `-k` K, `-a` alpha,
+`-d` delta, `-t` test mode, `-l` log dir, plus TPU-native extras
+(--backend, --panel-height, --validate)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bsmr-sddmm",
+        description="TPU-native block-structured SDDMM (BSMR capabilities)")
+    p.add_argument("-f", "--file", required=True, help="matrix file "
+                   "(.mtx/.smtx/.txt, optionally .gz)")
+    p.add_argument("-k", type=int, default=32, help="K dim (default 32)")
+    p.add_argument("-a", "--alpha", type=float, default=0.3,
+                   help="row-similarity threshold (default 0.3)")
+    p.add_argument("-d", "--delta", type=float, default=0.3,
+                   help="block-density threshold (default 0.3)")
+    p.add_argument("-t", "--test-mode", action="store_true",
+                   help="alpha x delta x K sweep (reference -t 1, "
+                        "src/sddmm.cu:62-118)")
+    p.add_argument("-l", "--log-dir", default="",
+                   help="directory for [key : value] log files")
+    p.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--panel-height", type=int, default=32)
+    p.add_argument("--row-strategy", choices=["exact", "fast", "none"],
+                   default="fast")
+    p.add_argument("--validate", action="store_true",
+                   help="check against the fp64 CPU oracle (reference "
+                        "#define VALIDATE, src/sddmm.cu:7)")
+    p.add_argument("--iterations", type=int, default=10)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from bsmr_sddmm_tpu.config import (SWEEP_ALPHAS, SWEEP_DELTAS, SWEEP_KS,
+                                       SddmmConfig)
+    from bsmr_sddmm_tpu.formats import load_matrix, make_dense
+    from bsmr_sddmm_tpu.sddmm import BsmrSddmm
+
+    csr = load_matrix(args.file)
+    name = os.path.basename(args.file)
+    print(f"[File : {name}] [M : {csr.rows}] [N : {csr.cols}] "
+          f"[NNZ : {csr.nnz}]")
+
+    cfg = SddmmConfig(k=args.k, alpha=args.alpha, delta=args.delta,
+                      panel_height=args.panel_height,
+                      backend=args.backend,
+                      row_strategy=args.row_strategy,
+                      num_iterations=args.iterations)
+    pipe = BsmrSddmm(csr, cfg)
+
+    if args.log_dir:
+        os.makedirs(args.log_dir, exist_ok=True)
+
+    def emit(log, tag):
+        text = log.to_text()
+        print(text)
+        if args.log_dir:
+            path = os.path.join(args.log_dir, tag + ".log")
+            with open(path, "a") as f:
+                f.write(text)
+
+    if not args.test_mode:
+        A = make_dense(csr.rows, args.k, seed=1337)
+        B = make_dense(args.k, csr.cols, seed=1338)
+        log = pipe.benchmark(A, B, validate=args.validate, file=name)
+        emit(log, f"BSMR_k_{args.k}_a_{args.alpha}_d_{args.delta}")
+        return 0 if (not args.validate or log.check_result == "pass") else 1
+
+    # test mode: sweep alpha x delta x K, row reordering reused per alpha
+    # (src/sddmm.cu:62-118); log file naming matches the reference
+    # (src/sddmm.cu:104-114)
+    failures = 0
+    for alpha in SWEEP_ALPHAS:
+        for delta in SWEEP_DELTAS:
+            for k in SWEEP_KS:
+                A = make_dense(csr.rows, k, seed=1337)
+                B = make_dense(k, csr.cols, seed=1338)
+                pipe.config = cfg.replace(k=k)
+                log = pipe.benchmark(A, B, alpha=alpha, delta=delta,
+                                     validate=args.validate, file=name)
+                emit(log, f"BSMR_k_{k}_a_{alpha}_d_{delta}")
+                if args.validate and log.check_result != "pass":
+                    failures += 1
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,114 @@
+"""Configuration for the BSMR-SDDMM TPU pipeline.
+
+The reference exposes its knobs as CLI flags (-f/-k/-a/-d/-t/-l, reference
+include/Options.hpp:38-43) plus compile-time tile macros
+(ROW_PANEL_SIZE/BLOCK_COL_SIZE = 16, include/BSMR.hpp:8-10,
+COL_BLOCK_SIZE = 32, src/rowReordering.cu:13). Here every knob is a runtime
+dataclass field; tile geometry is a kernel *parameter*, re-chosen for the
+MXU (lane width 128) instead of WMMA's 16x16.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SddmmConfig:
+    """All knobs for one BSMR-SDDMM run.
+
+    Defaults mirror the reference defaults (K=32, alpha=0.3, delta=0.3,
+    include/Options.hpp:38-43) except for tile geometry, which is TPU-native.
+    """
+
+    # --- problem shape ---------------------------------------------------
+    k: int = 32                  # contraction dim (reference -k)
+    alpha: float = 0.3           # row-similarity threshold (reference -a)
+    delta: float = 0.3           # block-density threshold (reference -d)
+
+    # --- tile geometry (TPU-native) --------------------------------------
+    # Row-panel height. The reference hardwires 16 (WMMA_M); on TPU the
+    # tradeoff is: larger panels raise the arithmetic intensity of the
+    # per-tile B-column gather (useful flops/byte ~ density * panel_height/2)
+    # but dilute tile density. Keep it a parameter.
+    panel_height: int = 32
+    # Column-block width. Lane width of the VPU/MXU; always 128 on TPU.
+    block_width: int = 128
+    # Column-block granularity of the row-pattern *encoding* used for
+    # clustering (reference COL_BLOCK_SIZE=32, src/rowReordering.cu:13).
+    encoding_block: int = 32
+
+    # --- numerics ---------------------------------------------------------
+    # The reference computes TF32 x TF32 -> fp32 on tensor cores
+    # (src/sddmmKernel.cu:310-326). On TPU we default to fp32 operands with
+    # XLA precision HIGHEST (6-pass bf16 decomposition, ~fp32-faithful),
+    # which passes the reference tolerance (abs 1e-5 OR rel 1e-3,
+    # include/checkData.hpp:14-30). "high" (3-pass) is the faster
+    # TF32-analog.
+    matmul_precision: str = "highest"  # one of "default", "high", "highest"
+    dtype: str = "float32"
+
+    # --- reordering strategy ----------------------------------------------
+    # "exact"  : faithful greedy accumulate-encoding clustering
+    #            (src/rowReordering.cu:325-432 semantics), sequential host.
+    # "fast"   : batched greedy (multiple cluster representatives per round,
+    #            vectorized over remaining rows) — same alpha semantics,
+    #            near-identical clusters, orders of magnitude faster.
+    # "none"   : identity ordering (reference noReorderRow,
+    #            src/rowReordering.cu:15-46).
+    row_strategy: str = "fast"
+    # Batch of cluster representatives per vectorized round ("fast" only).
+    cluster_batch: int = 64
+
+    # --- execution --------------------------------------------------------
+    # "xla"    : gather + batched-matmul + scatter, pure XLA.
+    # "pallas" : Pallas dense-tile kernel (MXU) + XLA residual.
+    backend: str = "xla"
+    # Tiles processed per chunk in the dense path (bounds live memory for
+    # the gathered B tiles: chunk * block_width * K floats).
+    dense_chunk: int = 512
+    # Residual nonzeros per chunk (bounds gathered A/B rows: chunk * K).
+    residual_chunk: int = 1 << 16
+    # Pad tile/residual counts up to buckets (powers of two between
+    # min_bucket and exact) to bound recompilation across sweep configs.
+    bucket_shapes: bool = True
+
+    # --- benchmark --------------------------------------------------------
+    num_iterations: int = 10     # timing iterations (reference Options.hpp:39)
+
+    def __post_init__(self) -> None:
+        if self.k % 8 != 0:
+            raise ValueError(f"k must be a multiple of 8, got {self.k}")
+        if self.panel_height % 8 != 0:
+            raise ValueError(
+                f"panel_height must be a multiple of 8 (fp32 sublane), got "
+                f"{self.panel_height}"
+            )
+        if self.block_width % 128 != 0:
+            raise ValueError(
+                f"block_width must be a multiple of 128 (lane), got "
+                f"{self.block_width}"
+            )
+        if self.row_strategy not in ("exact", "fast", "none"):
+            raise ValueError(f"unknown row_strategy {self.row_strategy!r}")
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+        if self.matmul_precision not in ("default", "high", "highest"):
+            raise ValueError(
+                f"unknown matmul_precision {self.matmul_precision!r}"
+            )
+
+    @property
+    def block_size(self) -> int:
+        """Elements per dense tile (reference BLOCK_SIZE=256, BSMR.hpp:10)."""
+        return self.panel_height * self.block_width
+
+    def replace(self, **kw) -> "SddmmConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Sweep grids used by the reference's test mode (src/sddmm.cu:64-66).
+SWEEP_ALPHAS = (0.1, 0.3, 0.5, 0.7, 0.9)
+SWEEP_DELTAS = (0.0, 0.1, 0.3, 0.5, 0.7, 0.9, 1.1)
+SWEEP_KS = (32, 64, 128, 256)

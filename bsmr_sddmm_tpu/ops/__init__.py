@@ -1,0 +1,10 @@
+"""Compute kernels: hybrid dense-tile / sparse-residual SDDMM on TPU."""
+
+from bsmr_sddmm_tpu.ops.sddmm import (
+    DevicePlan,
+    device_plan,
+    make_sddmm_fn,
+    sddmm_ref,
+)
+
+__all__ = ["DevicePlan", "device_plan", "make_sddmm_fn", "sddmm_ref"]

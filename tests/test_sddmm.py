@@ -1,0 +1,88 @@
+"""Numerical tests of the hybrid SDDMM against the fp64 oracle, with the
+reference tolerance (abs 1e-5 OR rel 1e-3, include/checkData.hpp:14-30)."""
+
+import numpy as np
+import pytest
+
+from bsmr_sddmm_tpu.config import SddmmConfig
+from bsmr_sddmm_tpu.formats import make_dense, random_mask
+from bsmr_sddmm_tpu.ops.sddmm import sddmm_ref
+from bsmr_sddmm_tpu.sddmm import BsmrSddmm, sddmm
+from bsmr_sddmm_tpu.utils.checkdata import check_data
+
+from conftest import make_ab
+
+
+@pytest.mark.parametrize("delta", [0.0, 0.3, 1.1])
+def test_xla_backend_matches_oracle(small_mask, delta):
+    cfg = SddmmConfig(k=32, panel_height=16, delta=delta,
+                      dense_chunk=64, residual_chunk=4096)
+    A, B = make_ab(small_mask, cfg.k)
+    out = sddmm(A, B, small_mask, cfg)
+    expected = sddmm_ref(A, B, small_mask)
+    res = check_data(expected, out)
+    assert res.passed, str(res)
+
+
+@pytest.mark.parametrize("k", [8, 32, 64])
+def test_k_sweep(tiny_mask, k):
+    cfg = SddmmConfig(k=k, panel_height=16, dense_chunk=32,
+                      residual_chunk=1024)
+    A, B = make_ab(tiny_mask, k)
+    out = sddmm(A, B, tiny_mask, cfg)
+    res = check_data(sddmm_ref(A, B, tiny_mask), out)
+    assert res.passed, str(res)
+
+
+def test_pallas_backend_matches_oracle(tiny_mask):
+    cfg = SddmmConfig(k=32, panel_height=16, backend="pallas",
+                      dense_chunk=32, residual_chunk=1024)
+    A, B = make_ab(tiny_mask, cfg.k)
+    out = sddmm(A, B, tiny_mask, cfg)
+    res = check_data(sddmm_ref(A, B, tiny_mask), out)
+    assert res.passed, str(res)
+
+
+def test_panel_heights(small_mask):
+    for ph in (16, 32, 64):
+        cfg = SddmmConfig(k=32, panel_height=ph, dense_chunk=32,
+                          residual_chunk=4096)
+        A, B = make_ab(small_mask, cfg.k)
+        out = sddmm(A, B, small_mask, cfg)
+        res = check_data(sddmm_ref(A, B, small_mask), out)
+        assert res.passed, f"ph={ph}: {res}"
+
+
+def test_pretransposed_b(tiny_mask):
+    cfg = SddmmConfig(k=32, panel_height=16)
+    A, B = make_ab(tiny_mask, cfg.k)
+    pipe = BsmrSddmm(tiny_mask, cfg)
+    out1 = pipe.run(A, B)                       # (K, N)
+    out2 = pipe.run(A, np.ascontiguousarray(B.T))  # (N, K)
+    np.testing.assert_allclose(out1, out2, rtol=1e-6)
+
+
+def test_benchmark_log(tiny_mask):
+    cfg = SddmmConfig(k=32, panel_height=16, num_iterations=2)
+    A, B = make_ab(tiny_mask, cfg.k)
+    pipe = BsmrSddmm(tiny_mask, cfg)
+    log = pipe.benchmark(A, B, validate=True, file="tiny")
+    assert log.check_result == "pass"
+    assert log.gflops > 0
+    text = log.to_text()
+    assert "[bsmr_gflops" in text and "---New data---" in text
+    from bsmr_sddmm_tpu.utils.logger import parse_log_text
+    rec = parse_log_text(text)[0]
+    assert rec["File"] == "tiny"
+    assert int(rec["NNZ"]) == tiny_mask.nnz
+
+
+def test_alpha_delta_cache(tiny_mask):
+    """Row reordering must be computed once per alpha across a delta sweep
+    (reference test mode reuses it, src/sddmm.cu:62-118)."""
+    cfg = SddmmConfig(k=32)
+    pipe = BsmrSddmm(tiny_mask, cfg)
+    pipe.reorder(alpha=0.3, delta=0.1)
+    r1 = pipe._row_cache[(0.3, cfg.row_strategy)]
+    pipe.reorder(alpha=0.3, delta=0.9)
+    assert pipe._row_cache[(0.3, cfg.row_strategy)] is r1
