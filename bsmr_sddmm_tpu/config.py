@@ -41,13 +41,28 @@ class SddmmConfig:
 
     # --- numerics ---------------------------------------------------------
     # The reference computes TF32 x TF32 -> fp32 on tensor cores
-    # (src/sddmmKernel.cu:310-326). On TPU we default to fp32 operands with
-    # XLA precision HIGHEST (6-pass bf16 decomposition, ~fp32-faithful),
-    # which passes the reference tolerance (abs 1e-5 OR rel 1e-3,
-    # include/checkData.hpp:14-30). "high" (3-pass) is the faster
-    # TF32-analog.
-    matmul_precision: str = "highest"  # one of "default", "high", "highest"
+    # (src/sddmmKernel.cu:310-326). TPU equivalent: "bf16x3" splits each
+    # fp32 operand into hi+lo bfloat16 and runs three bf16 MXU passes
+    # (ah@bh + ah@bl + al@bh) — TF32-class-or-better precision at 3x the
+    # bf16 rate; passes the reference tolerance (abs 1e-5 OR rel 1e-3,
+    # include/checkData.hpp:14-30) with margin. "highest" is full fp32
+    # (6-pass), "default" is raw bf16 (1 pass, fails the rel-1e-3 check).
+    matmul_precision: str = "bf16x3"  # "default" | "bf16x3" | "highest"
     dtype: str = "float32"
+
+    # --- column split mode --------------------------------------------------
+    # "bsr"     : TPU-first. No column permutation: dense tiles are the
+    #             *natural* 128-wide column blocks whose in-panel nnz meets
+    #             the delta threshold. B blocks are then contiguous slices
+    #             of B^T — zero gather traffic, perfect DMA pipelining —
+    #             and row clustering alone concentrates density. On TPU the
+    #             per-tile column gather of the reference design costs more
+    #             than the density it buys (HBM gathers at 512 B granularity
+    #             run ~5x below peak).
+    # "reorder" : reference parity (colReordering_cpu semantics,
+    #             src/colReordering.cu:274-404): per-panel columns sorted by
+    #             count, gathered per tile.
+    col_mode: str = "bsr"
 
     # --- reordering strategy ----------------------------------------------
     # "exact"  : faithful greedy accumulate-encoding clustering
@@ -62,9 +77,10 @@ class SddmmConfig:
     cluster_batch: int = 64
 
     # --- execution --------------------------------------------------------
+    # "auto"   : pallas on TPU, xla elsewhere.
     # "xla"    : gather + batched-matmul + scatter, pure XLA.
     # "pallas" : Pallas dense-tile kernel (MXU) + XLA residual.
-    backend: str = "xla"
+    backend: str = "auto"
     # Tiles processed per chunk in the dense path (bounds live memory for
     # the gathered B tiles: chunk * block_width * K floats).
     dense_chunk: int = 512
@@ -92,9 +108,12 @@ class SddmmConfig:
             )
         if self.row_strategy not in ("exact", "fast", "none"):
             raise ValueError(f"unknown row_strategy {self.row_strategy!r}")
-        if self.backend not in ("xla", "pallas"):
+        if self.col_mode not in ("bsr", "reorder"):
+            raise ValueError(f"unknown col_mode {self.col_mode!r}")
+        if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
-        if self.matmul_precision not in ("default", "high", "highest"):
+        if self.matmul_precision not in ("default", "bf16x3", "high",
+                                         "highest"):
             raise ValueError(
                 f"unknown matmul_precision {self.matmul_precision!r}"
             )

@@ -36,6 +36,92 @@ _PRECISION = {
 }
 
 
+def _tile_matmul(a, b, precision: str):
+    """(ph, K) x (bw, K) -> (ph, bw), contracting K.
+
+    "bf16x3": split each fp32 operand into hi+lo bfloat16 and take three
+    bf16 MXU passes, ah@bh + ah@bl + al@bh — the TPU equivalent of the
+    reference's TF32 tensor-core multiply (sddmmKernel.cu:310-326): ~11
+    effective mantissa bits per operand, fp32 accumulate, and it passes the
+    reference's rel-1e-3 tolerance with margin (the dropped al@bl term is
+    O(2^-16) relative). Mosaic has no Precision.HIGH lowering, hence the
+    manual split.
+    """
+    dn = (((1,), (1,)), ((), ()))
+    if precision in ("bf16x3", "high"):
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def mm(x, y):
+            return jax.lax.dot_general(
+                x, y, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+
+        return mm(ah, bh) + mm(ah, bl) + mm(al, bh)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dn,
+        precision=_PRECISION[precision],
+        preferred_element_type=jnp.float32)
+
+
+def make_bsr_dense_kernel(num_panels: int, ph: int, bw: int, k: int,
+                          n_cols: int, precision: str = "highest",
+                          interpret: bool = False):
+    """BSR-mode dense SDDMM kernel: zero gather traffic.
+
+    Build ``fn(A_panels, Bt, tile_panel, tile_cblock) -> (T, ph, bw)``.
+    Tiles are *natural* column blocks, so the B operand of tile t is the
+    contiguous slice ``Bt[cblock*bw:(cblock+1)*bw]`` — both operands are
+    fed by scalar-prefetch-driven BlockSpec index_maps and Pallas
+    double-buffers the whole pipeline (A panel 4*ph*K bytes, B block
+    4*bw*K bytes per step; at ph=32, K=128 that's 16 KB + 64 KB DMAs,
+    full-bandwidth sizes). This is the design the reference *cannot* use:
+    its 16x16 WMMA tiles need gathered columns to reach density, whereas
+    MXU-wide natural blocks plus row clustering get density for free.
+    """
+    n_cblocks = -(-n_cols // bw)
+
+    def kernel(panel_ref, cblock_ref, a_ref, b_ref, out_ref):
+        # a_ref: (1, ph, K); b_ref: (bw, K); out_ref: (1, ph, bw)
+        out_ref[0] = _tile_matmul(a_ref[0], b_ref[:], precision)
+
+    def fn(A_panels: jax.Array, Bt: jax.Array, tile_panel: jax.Array,
+           tile_cblock: jax.Array) -> jax.Array:
+        T = tile_panel.shape[0]
+        npad = n_cblocks * bw - Bt.shape[0]
+        if npad:
+            Bt = jnp.pad(Bt, ((0, npad), (0, 0)))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, ph, k),
+                             lambda t, panel_ref, cblock_ref:
+                             (panel_ref[t], 0, 0)),
+                pl.BlockSpec((bw, k),
+                             lambda t, panel_ref, cblock_ref:
+                             (cblock_ref[t], 0)),
+            ],
+            out_specs=pl.BlockSpec((1, ph, bw),
+                                   lambda t, panel_ref, cblock_ref:
+                                   (t, 0, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((T, ph, bw), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * ph * bw * k,
+                bytes_accessed=4 * T * (ph * k + bw * k + ph * bw),
+                transcendentals=0),
+            interpret=interpret,
+        )(tile_panel, tile_cblock, A_panels, Bt)
+
+    return fn
+
+
 def make_dense_tile_kernel(num_panels: int, ph: int, bw: int, k: int,
                            chunk: int, precision: str = "highest",
                            interpret: bool = False):
@@ -45,17 +131,10 @@ def make_dense_tile_kernel(num_panels: int, ph: int, bw: int, k: int,
     b_tiles:  (chunk, bw, K) fp32 — gathered B columns, row-major in K.
     tile_panel: (chunk,) int32 — panel id per tile (scalar-prefetched).
     """
-    prec = _PRECISION[precision]
-
     def kernel(panel_ref, a_ref, b_ref, out_ref):
         # a_ref: (1, ph, K) — the tile's panel, selected by index_map
         # b_ref: (1, bw, K); out_ref: (1, ph, bw)
-        out_ref[0] = jax.lax.dot_general(
-            a_ref[0], b_ref[0],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            precision=prec,
-            preferred_element_type=jnp.float32,
-        )
+        out_ref[0] = _tile_matmul(a_ref[0], b_ref[0], precision)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -31,18 +31,28 @@ from bsmr_sddmm_tpu.pack import TilePlan
 
 _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
+    # XLA's HIGH is the same 3-pass bf16 decomposition the Pallas kernels
+    # do by hand (see ops/pallas_dense._tile_matmul)
+    "bf16x3": jax.lax.Precision.HIGH,
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
 
 
+def resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        return "xla" if jax.default_backend() == "cpu" else "pallas"
+    return backend
+
+
 class DevicePlan(NamedTuple):
     """Device-resident TilePlan arrays (reference: the h2d block at
-    BSMR.cpp:252-264)."""
+    BSMR.cpp:252-264). ``tile_src`` is per-tile column-block ids (T,) in
+    bsr mode, or gathered column ids (T, bw) in reorder mode."""
 
     row_perm_padded: jax.Array   # (num_panels*ph,) int32
     tile_panel: jax.Array        # (T,) int32
-    tile_cols: jax.Array         # (T, bw) int32
+    tile_src: jax.Array          # (T,) cblock ids | (T, bw) col ids
     tile_scatter: jax.Array      # (T, ph, bw) int32
     res_arow: jax.Array          # (E,) int32
     res_col: jax.Array           # (E,) int32
@@ -50,10 +60,11 @@ class DevicePlan(NamedTuple):
 
 
 def device_plan(plan: TilePlan) -> DevicePlan:
+    tile_src = plan.tile_cblock if plan.mode == "bsr" else plan.tile_cols
     return DevicePlan(
         row_perm_padded=jnp.asarray(plan.row_perm_padded),
         tile_panel=jnp.asarray(plan.tile_panel),
-        tile_cols=jnp.asarray(plan.tile_cols),
+        tile_src=jnp.asarray(tile_src),
         tile_scatter=jnp.asarray(plan.tile_scatter),
         res_arow=jnp.asarray(plan.res_arow),
         res_col=jnp.asarray(plan.res_col),
@@ -72,16 +83,31 @@ def _pad_to_multiple(x: jax.Array, mult: int, axis: int = 0,
     return jnp.pad(x, pad, constant_values=fill)
 
 
-def make_sddmm_fn(plan: TilePlan, config: SddmmConfig,
-                  backend: Optional[str] = None) -> Callable:
-    """Build the jitted hybrid SDDMM for one TilePlan shape bucket.
+def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
+                    backend: Optional[str] = None,
+                    emit: str = "csr") -> Callable:
+    """Build the un-jitted hybrid SDDMM body for one TilePlan shape bucket.
 
-    Returns ``fn(A, Bt, dplan) -> P`` where A is (M, K) row-major, Bt is
-    (N, K) — i.e. B^T, so both operand gathers are row gathers — and P is
-    the (nnz,) result vector in original CSR order (reference semantics:
-    sddmm_gpu writes matrixP in CSR value order, sddmmKernel.cu:332-350).
+    ``fn(A, Bt, dplan)`` where A is (M, K) row-major, Bt is (N, K) — i.e.
+    B^T, so both operand gathers are row gathers. Output layout:
+
+    * ``emit="csr"``: (nnz+1,) — the result in original CSR value order
+      plus a trailing trash slot (zeros at positions this plan shard does
+      not own). Matches the reference contract (matrixP in CSR value
+      order, sddmmKernel.cu:332-350) but pays a per-element scatter that
+      TPUs execute at only a few hundred M elem/s.
+    * ``emit="rphm"``: ``(dense_out (T, ph, bw), res_vals (E,))`` — the
+      values in the plan's own tile/residual layout, no per-element
+      reorder anywhere. This is the layout the framework's own consumers
+      (edge softmax/SpMM, see ops/graph.py) can use directly;
+      ``TilePlan.tile_scatter``/``res_out`` give the static bijection back
+      to CSR order.
+
+    Shared by the single-chip jit and the shard_map multi-chip wrapper.
     """
-    backend = config.backend if backend is None else backend
+    backend = resolve_backend(config.backend if backend is None else backend)
+    if emit not in ("csr", "rphm"):
+        raise ValueError(f"unknown emit {emit!r}")
     ph, bw, k = plan.panel_height, plan.block_width, plan.k
     num_panels = max(plan.num_panels, 1)
     T = plan.tile_panel.shape[0]
@@ -91,85 +117,143 @@ def make_sddmm_fn(plan: TilePlan, config: SddmmConfig,
     dense_chunk = max(8, min(config.dense_chunk, T))
     res_chunk = max(8, min(config.residual_chunk, E))
 
+    interpret = jax.default_backend() == "cpu"  # no Mosaic on CPU
+    mode = plan.mode
     if backend == "pallas":
-        from bsmr_sddmm_tpu.ops.pallas_dense import make_dense_tile_kernel
-        dense_kernel = make_dense_tile_kernel(
-            num_panels=num_panels, ph=ph, bw=bw, k=k,
-            chunk=dense_chunk, precision=config.matmul_precision,
-            # no Mosaic on CPU: fall back to the Pallas interpreter
-            interpret=jax.default_backend() == "cpu")
+        if mode == "bsr":
+            from bsmr_sddmm_tpu.ops.pallas_dense import make_bsr_dense_kernel
+            dense_kernel = make_bsr_dense_kernel(
+                num_panels=num_panels, ph=ph, bw=bw, k=k, n_cols=plan.cols,
+                precision=config.matmul_precision, interpret=interpret)
+        else:
+            from bsmr_sddmm_tpu.ops.pallas_dense import make_dense_tile_kernel
+            dense_kernel = make_dense_tile_kernel(
+                num_panels=num_panels, ph=ph, bw=bw, k=k,
+                chunk=dense_chunk, precision=config.matmul_precision,
+                interpret=interpret)
     else:
         dense_kernel = None
 
-    def fn(A: jax.Array, Bt: jax.Array, dplan: DevicePlan) -> jax.Array:
+    n_cblocks = -(-plan.cols // bw)
+
+    def dense_out_fn(A_panels, Bt, dplan):
+        """Compute all dense tiles -> (T, ph, bw)."""
+        if backend == "pallas" and mode == "bsr":
+            # the Pallas grid is the loop; chunk only to bound live memory
+            pchunk = max(dense_chunk, 4096)
+            if T <= pchunk:
+                return dense_kernel(A_panels, Bt, dplan.tile_panel,
+                                    dplan.tile_src)
+            parts = []
+            for s in range(0, T, pchunk):
+                e = min(s + pchunk, T)
+                parts.append(dense_kernel(
+                    A_panels, Bt, jax.lax.slice_in_dim(
+                        dplan.tile_panel, s, e),
+                    jax.lax.slice_in_dim(dplan.tile_src, s, e)))
+            return jnp.concatenate(parts, axis=0)
+
+        tile_panel = _pad_to_multiple(dplan.tile_panel, dense_chunk)
+        tile_src = _pad_to_multiple(dplan.tile_src, dense_chunk)
+        S = tile_panel.shape[0] // dense_chunk
+
+        if mode == "bsr":
+            npad = n_cblocks * bw - plan.cols
+            Bt_pad = jnp.pad(Bt, ((0, npad), (0, 0))) if npad else Bt
+            B_blocks = Bt_pad.reshape(n_cblocks, bw, k)
+
+            def gather_b(src_c):
+                # whole-block gather: 64 KB slices, near-peak HBM BW
+                return jnp.take(B_blocks, src_c, axis=0)  # (C, bw, K)
+        else:
+            def gather_b(src_c):
+                b = jnp.take(Bt, src_c.reshape(-1), axis=0)
+                return b.reshape(dense_chunk, bw, k)
+
+        if backend == "pallas":
+            def matmul(b, panel_c):
+                return dense_kernel(A_panels, b, panel_c)
+        else:
+            def matmul(b, panel_c):
+                a = jnp.take(A_panels, panel_c, axis=0)    # (C, ph, K)
+                return jax.lax.dot_general(
+                    a, b,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    precision=precision,
+                    preferred_element_type=jnp.float32)    # (C, ph, bw)
+
+        def dense_step(_, chunk):
+            panel_c, src_c = chunk
+            return None, matmul(gather_b(src_c), panel_c)
+
+        src_shape = ((S, dense_chunk) if tile_src.ndim == 1
+                     else (S, dense_chunk, bw))
+        chunks = (tile_panel.reshape(S, dense_chunk),
+                  tile_src.reshape(src_shape))
+        if S == 1:
+            out = dense_step(None, jax.tree.map(lambda x: x[0], chunks))[1]
+        else:
+            _, out = jax.lax.scan(dense_step, None, chunks)
+            out = out.reshape(S * dense_chunk, ph, bw)
+        return out[:T]
+
+    def res_vals_fn(A_perm, Bt, dplan):
+        """Compute all residual values -> (E,)."""
+        res_arow = _pad_to_multiple(dplan.res_arow, res_chunk)
+        res_col = _pad_to_multiple(dplan.res_col, res_chunk)
+        SR = res_arow.shape[0] // res_chunk
+
+        def res_step(_, chunk):
+            arow_c, col_c = chunk
+            a = jnp.take(A_perm, arow_c, axis=0)   # (C, K)
+            b = jnp.take(Bt, col_c, axis=0)        # (C, K)
+            return None, jnp.sum(a * b, axis=-1)   # fp32 on the VPU
+
+        res_chunks = (res_arow.reshape(SR, res_chunk),
+                      res_col.reshape(SR, res_chunk))
+        if SR == 1:
+            vals = res_step(None, jax.tree.map(lambda x: x[0],
+                                               res_chunks))[1]
+        else:
+            _, vals = jax.lax.scan(res_step, None, res_chunks)
+            vals = vals.reshape(SR * res_chunk)
+        return vals[:E]
+
+    def fn(A: jax.Array, Bt: jax.Array, dplan: DevicePlan):
         A = A.astype(jnp.float32)
         Bt = Bt.astype(jnp.float32)
         A_perm = jnp.take(A, dplan.row_perm_padded, axis=0)  # (P*ph, K)
         A_panels = A_perm.reshape(num_panels, ph, k)
+        dense_out = dense_out_fn(A_panels, Bt, dplan)
+        res_vals = res_vals_fn(A_perm, Bt, dplan)
+        if emit == "rphm":
+            return dense_out, res_vals
         P = jnp.zeros(nnz + 1, dtype=jnp.float32)
+        P = P.at[dplan.tile_scatter.reshape(-1)].set(
+            dense_out.reshape(-1), mode="drop", unique_indices=False)
+        P = P.at[dplan.res_out].set(res_vals, mode="drop",
+                                    unique_indices=False)
+        return P
 
-        # ---- dense path ---------------------------------------------------
-        tile_panel = _pad_to_multiple(dplan.tile_panel, dense_chunk)
-        tile_cols = _pad_to_multiple(dplan.tile_cols, dense_chunk)
-        tile_scatter = _pad_to_multiple(dplan.tile_scatter, dense_chunk,
-                                        fill=nnz)
-        S = tile_panel.shape[0] // dense_chunk
+    return fn
 
-        if backend == "pallas":
-            def dense_body(P, chunk):
-                panel_c, cols_c, scatter_c = chunk
-                b = jnp.take(Bt, cols_c.reshape(-1), axis=0)
-                b = b.reshape(dense_chunk, bw, k)
-                out = dense_kernel(A_panels, b, panel_c)
-                return P.at[scatter_c.reshape(-1)].set(
-                    out.reshape(-1), mode="drop",
-                    unique_indices=False), None
-        else:
-            def dense_body(P, chunk):
-                panel_c, cols_c, scatter_c = chunk
-                a = jnp.take(A_panels, panel_c, axis=0)        # (C, ph, K)
-                b = jnp.take(Bt, cols_c.reshape(-1), axis=0)   # (C*bw, K)
-                b = b.reshape(dense_chunk, bw, k)
-                out = jax.lax.dot_general(
-                    a, b,
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    precision=precision,
-                    preferred_element_type=jnp.float32)        # (C, ph, bw)
-                return P.at[scatter_c.reshape(-1)].set(
-                    out.reshape(-1), mode="drop",
-                    unique_indices=False), None
 
-        chunks = (tile_panel.reshape(S, dense_chunk),
-                  tile_cols.reshape(S, dense_chunk, bw),
-                  tile_scatter.reshape(S, dense_chunk, ph, bw))
-        if S == 1:
-            P, _ = dense_body(P, jax.tree.map(lambda x: x[0], chunks))
-        else:
-            P, _ = jax.lax.scan(dense_body, P, chunks)
+def make_sddmm_fn(plan: TilePlan, config: SddmmConfig,
+                  backend: Optional[str] = None,
+                  emit: str = "csr") -> Callable:
+    """Jitted single-device hybrid SDDMM. With ``emit="csr"`` (default):
+    ``fn(A, Bt, dplan) -> P`` with P (nnz,) in original CSR value order
+    (reference semantics: sddmm_gpu writes matrixP in CSR value order,
+    sddmmKernel.cu:332-350). With ``emit="rphm"``: the tile-layout pair —
+    see make_sddmm_body."""
+    body = make_sddmm_body(plan, config, backend, emit=emit)
+    nnz = plan.nnz
 
-        # ---- residual path ------------------------------------------------
-        res_arow = _pad_to_multiple(dplan.res_arow, res_chunk)
-        res_col = _pad_to_multiple(dplan.res_col, res_chunk)
-        res_out = _pad_to_multiple(dplan.res_out, res_chunk, fill=nnz)
-        SR = res_arow.shape[0] // res_chunk
+    if emit == "rphm":
+        return jax.jit(body)
 
-        def res_body(P, chunk):
-            arow_c, col_c, out_c = chunk
-            a = jnp.take(A_perm, arow_c, axis=0)   # (C, K)
-            b = jnp.take(Bt, col_c, axis=0)        # (C, K)
-            vals = jnp.sum(a * b, axis=-1)         # fp32 on the VPU
-            return P.at[out_c].set(vals, mode="drop",
-                                   unique_indices=False), None
-
-        res_chunks = (res_arow.reshape(SR, res_chunk),
-                      res_col.reshape(SR, res_chunk),
-                      res_out.reshape(SR, res_chunk))
-        if SR == 1:
-            P, _ = res_body(P, jax.tree.map(lambda x: x[0], res_chunks))
-        else:
-            P, _ = jax.lax.scan(res_body, P, res_chunks)
-
-        return P[:nnz]
+    def fn(A, Bt, dplan):
+        return body(A, Bt, dplan)[:nnz]
 
     return jax.jit(fn)
 

@@ -74,6 +74,10 @@ class TilePlan:
     row_perm_padded: np.ndarray    # (num_panels*ph,) int32
 
     pack_time_ms: float = 0.0
+    # column mode: "bsr" tiles are natural column blocks (tile_cblock valid,
+    # B reads contiguous); "reorder" tiles gather tile_cols per tile
+    mode: str = "bsr"
+    tile_cblock: Optional[np.ndarray] = None   # (T,) int32, bsr mode only
 
     # --- statistics (reference evaluationReordering, BSMR.cpp:826-930) ---
     @property
@@ -91,6 +95,15 @@ class TilePlan:
             return 0.0
         slots = self.num_tiles * self.panel_height * self.block_width
         return self.dense_nnz / slots
+
+    def csr_values_from_rphm(self, dense_out: np.ndarray,
+                             res_vals: np.ndarray) -> np.ndarray:
+        """Host-side assembly of CSR-order values from the rphm-layout
+        output (the static bijection recorded in tile_scatter/res_out)."""
+        P = np.empty(self.nnz + 1, dtype=np.float32)
+        P[self.tile_scatter.reshape(-1)] = np.asarray(dense_out).reshape(-1)
+        P[self.res_out] = np.asarray(res_vals)
+        return P[:self.nnz]
 
     def flops(self) -> dict:
         """Raw device flops vs useful flops (2*nnz*K is the benchmark
@@ -193,6 +206,25 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     row_perm_padded = np.zeros(num_panels * ph, dtype=np.int32)
     row_perm_padded[:R] = perm
 
+    # bsr mode: tiles are block-aligned, so the whole B read for tile t is
+    # the contiguous slice Bt[cblock*bw : (cblock+1)*bw]. Sort tiles by
+    # (cblock, panel): consecutive grid steps with the same cblock then
+    # reuse the resident B block (the Pallas pipeline skips the DMA when
+    # the block index repeats), so B streams HBM->VMEM approximately once
+    # per touched column block instead of once per tile — measured ~5x on
+    # the dense path.
+    mode = config.col_mode
+    tile_cblock = None
+    if mode == "bsr":
+        tile_cblock = (tile_cols[:, 0] // bw).astype(np.int32)
+        if num_tiles0 > 1:
+            order = np.lexsort((tile_panel[:num_tiles0],
+                                tile_cblock[:num_tiles0]))
+            tile_panel[:num_tiles0] = tile_panel[:num_tiles0][order]
+            tile_cols[:num_tiles0] = tile_cols[:num_tiles0][order]
+            tile_cblock[:num_tiles0] = tile_cblock[:num_tiles0][order]
+            tile_scatter[:num_tiles0] = tile_scatter[:num_tiles0][order]
+
     plan = TilePlan(
         rows=csr.rows, cols=N, nnz=nnz, k=k,
         panel_height=ph, block_width=bw, num_panels=num_panels,
@@ -202,6 +234,7 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         num_residual=num_residual0,
         res_arow=res_arow, res_col=res_col, res_out=res_out,
         row_perm_padded=row_perm_padded,
+        mode=mode, tile_cblock=tile_cblock,
     )
     plan.pack_time_ms = (_time.perf_counter() - t0) * 1e3
     return plan

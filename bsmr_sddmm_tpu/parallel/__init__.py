@@ -1,0 +1,4 @@
+from bsmr_sddmm_tpu.parallel.sharding import (make_mesh, shard_device_plan,
+                                              make_sharded_sddmm_fn)
+
+__all__ = ["make_mesh", "shard_device_plan", "make_sharded_sddmm_fn"]

@@ -1,0 +1,116 @@
+"""Multi-device SDDMM: row-panel sharding over a JAX mesh.
+
+This layer is *new work* relative to the reference, which is strictly
+single-GPU (SURVEY.md section 2d: no NCCL/MPI anywhere). The scaling design
+follows the BASELINE.json north star: the reordered mask's tiles and
+residual entries — both grouped by row panel — are sharded across devices;
+operands are replicated (B-panel all-gather overlap is the planned
+refinement once B no longer fits per-device); each device scatters its
+partial result vector and a single ``psum`` combines them (every CSR index
+is owned by exactly one shard, so the reduction is exact).
+
+Everything compiles under ``jax.sharding.Mesh`` + ``shard_map``, so the
+same code runs on N real TPU chips over ICI or on a virtual CPU mesh
+(tests / the driver's dryrun)."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bsmr_sddmm_tpu.config import SddmmConfig
+from bsmr_sddmm_tpu.ops.sddmm import DevicePlan, make_sddmm_body
+from bsmr_sddmm_tpu.pack import TilePlan
+
+AXIS = "panels"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices: Optional[list] = None) -> Mesh:
+    """1-D mesh over the row-panel axis. On a pod slice this should be the
+    ICI-contiguous device order (jax.devices() already is for 1-D)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _pad_leading(arr: np.ndarray, mult: int, fill) -> np.ndarray:
+    n = arr.shape[0]
+    target = -(-n // mult) * mult
+    if target == n:
+        return arr
+    pad = np.full((target - n,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def shard_device_plan(plan: TilePlan, mesh: Mesh) -> DevicePlan:
+    """Pad tile/residual counts to the mesh size and place each array with
+    its leading dim sharded over the mesh. Padded tiles scatter into the
+    trash slot, so any shard imbalance is pure padding, never wrong data."""
+    n = mesh.devices.size
+    sharded = NamedSharding(mesh, P(AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def put(arr, spec):
+        return jax.device_put(jnp.asarray(arr), spec)
+
+    tile_src = plan.tile_cblock if plan.mode == "bsr" else plan.tile_cols
+    return DevicePlan(
+        row_perm_padded=put(plan.row_perm_padded, repl),
+        tile_panel=put(_pad_leading(plan.tile_panel, n, 0), sharded),
+        tile_src=put(_pad_leading(tile_src, n, 0), sharded),
+        tile_scatter=put(_pad_leading(plan.tile_scatter, n, plan.nnz),
+                         sharded),
+        res_arow=put(_pad_leading(plan.res_arow, n, 0), sharded),
+        res_col=put(_pad_leading(plan.res_col, n, 0), sharded),
+        res_out=put(_pad_leading(plan.res_out, n, plan.nnz), sharded),
+    )
+
+
+def make_sharded_sddmm_fn(plan: TilePlan, config: SddmmConfig,
+                          mesh: Mesh,
+                          backend: Optional[str] = None) -> Callable:
+    """Build ``fn(A, Bt, dplan) -> P`` running the hybrid SDDMM with tiles
+    and residual sharded over ``mesh`` and one psum to combine partials."""
+    n = mesh.devices.size
+    # each device executes the body on a 1/n shard: build the body for the
+    # shard-local shapes
+    def shard0(arr, fill):
+        return _pad_leading(arr, n, fill)[: -(-arr.shape[0] // n)]
+
+    local = TilePlan(**{
+        **plan.__dict__,
+        "tile_panel": shard0(plan.tile_panel, 0),
+        "tile_cols": shard0(plan.tile_cols, 0),
+        "tile_cblock": (shard0(plan.tile_cblock, 0)
+                        if plan.tile_cblock is not None else None),
+        "tile_scatter": shard0(plan.tile_scatter, plan.nnz),
+        "res_arow": shard0(plan.res_arow, 0),
+        "res_col": shard0(plan.res_col, 0),
+        "res_out": shard0(plan.res_out, plan.nnz),
+    })
+    body = make_sddmm_body(local, config, backend)
+    nnz = plan.nnz
+
+    def shard_body(A, Bt, dplan):
+        partial = body(A, Bt, dplan)           # (nnz+1,) zeros off-shard
+        total = jax.lax.psum(partial, AXIS)
+        return total[:nnz]
+
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P(),
+                  DevicePlan(row_perm_padded=P(),
+                             tile_panel=P(AXIS), tile_src=P(AXIS),
+                             tile_scatter=P(AXIS),
+                             res_arow=P(AXIS), res_col=P(AXIS),
+                             res_out=P(AXIS))),
+        out_specs=P(),
+    )
+    return jax.jit(mapped)

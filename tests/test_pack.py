@@ -55,11 +55,21 @@ def _check_residual_consistency(csr, reord, plan):
                                   plan.res_col[real])
 
 
+@pytest.mark.parametrize("mode", ["bsr", "reorder"])
 @pytest.mark.parametrize("delta", [0.0, 0.3, 1.1])
 @pytest.mark.parametrize("ph", [16, 32])
-def test_plan_invariants(small_mask, delta, ph):
-    cfg = SddmmConfig(row_strategy="fast", panel_height=ph, delta=delta)
+def test_plan_invariants(small_mask, delta, ph, mode):
+    cfg = SddmmConfig(row_strategy="fast", panel_height=ph, delta=delta,
+                      col_mode=mode)
     reord, plan = _plan(small_mask, cfg)
+    if mode == "bsr" and plan.num_tiles:
+        # bsr tiles are block-aligned: every tile's first column is a
+        # multiple of block_width and matches tile_cblock
+        t = np.arange(plan.num_tiles)
+        np.testing.assert_array_equal(
+            plan.tile_cols[t, 0] % plan.block_width, 0)
+        np.testing.assert_array_equal(
+            plan.tile_cblock[t], plan.tile_cols[t, 0] // plan.block_width)
     _check_bijection(small_mask, plan)
     _check_dense_consistency(small_mask, reord, plan)
     _check_residual_consistency(small_mask, reord, plan)

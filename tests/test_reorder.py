@@ -125,10 +125,53 @@ def test_col_reordering_partition(small_mask, delta):
 
 
 def test_bsmr_end_to_end(small_mask):
-    cfg = SddmmConfig(row_strategy="fast", panel_height=32)
+    cfg = SddmmConfig(row_strategy="fast", panel_height=32,
+                      col_mode="reorder")
     reord = bsmr(small_mask, cfg)
     _check_row_reordering(small_mask, reord)
     _check_col_reordering(small_mask, reord, cfg, cfg.delta)
+
+
+@pytest.mark.parametrize("delta", [0.0, 0.1, 0.5, 1.1])
+def test_col_split_bsr_invariants(small_mask, delta):
+    """BSR column split: dense tiles are block-aligned natural column
+    blocks meeting the threshold; dense blocks + sparse cols exactly cover
+    the panel's nonzero columns."""
+    cfg = SddmmConfig(row_strategy="fast", panel_height=16, col_mode="bsr")
+    reord = row_reordering(small_mask, alpha=0.3, config=cfg)
+    from bsmr_sddmm_tpu.reorder import col_split_bsr
+    reord = col_split_bsr(small_mask, reord, cfg, delta=delta)
+    ph, bw = cfg.panel_height, cfg.block_width
+    N = small_mask.cols
+    threshold = max(int(np.ceil(delta * ph * bw)), 1)
+    perm = reord.row_perm
+    for p in range(reord.num_row_panels):
+        rows = perm[p * ph:(p + 1) * ph]
+        cols_in_panel = np.concatenate([
+            small_mask.col_indices[
+                small_mask.row_offsets[r]:small_mask.row_offsets[r + 1]]
+            for r in rows])
+        col_ids, col_counts = np.unique(cols_in_panel, return_counts=True)
+        count_of = dict(zip(col_ids.tolist(), col_counts.tolist()))
+        dc = reord.dense_cols[
+            reord.dense_col_offsets[p]:reord.dense_col_offsets[p + 1]]
+        sc = reord.sparse_cols[
+            reord.sparse_col_offsets[p]:reord.sparse_col_offsets[p + 1]]
+        assert dc.shape[0] % bw == 0
+        for g in range(dc.shape[0] // bw):
+            grp = dc[g * bw:(g + 1) * bw]
+            real = grp[grp < N]
+            assert real[0] % bw == 0           # block aligned
+            assert np.all(np.diff(real) == 1)  # the block's own columns
+            s = sum(count_of.get(c, 0) for c in real.tolist())
+            assert s >= threshold
+        dc_nonzero = np.intersect1d(dc[dc < N], col_ids)
+        assert np.intersect1d(dc_nonzero, sc).size == 0
+        np.testing.assert_array_equal(
+            np.sort(np.concatenate([dc_nonzero, sc])), col_ids)
+        sparse_nnz = sum(count_of[c] for c in sc.tolist())
+        assert sparse_nnz == (reord.sparse_value_offsets[p + 1]
+                              - reord.sparse_value_offsets[p])
 
 
 def test_reordering_improves_density(small_mask):

@@ -13,9 +13,10 @@ from bsmr_sddmm_tpu.utils.checkdata import check_data
 from conftest import make_ab
 
 
+@pytest.mark.parametrize("mode", ["bsr", "reorder"])
 @pytest.mark.parametrize("delta", [0.0, 0.3, 1.1])
-def test_xla_backend_matches_oracle(small_mask, delta):
-    cfg = SddmmConfig(k=32, panel_height=16, delta=delta,
+def test_xla_backend_matches_oracle(small_mask, delta, mode):
+    cfg = SddmmConfig(k=32, panel_height=16, delta=delta, col_mode=mode,
                       dense_chunk=64, residual_chunk=4096)
     A, B = make_ab(small_mask, cfg.k)
     out = sddmm(A, B, small_mask, cfg)
@@ -34,9 +35,10 @@ def test_k_sweep(tiny_mask, k):
     assert res.passed, str(res)
 
 
-def test_pallas_backend_matches_oracle(tiny_mask):
+@pytest.mark.parametrize("mode", ["bsr", "reorder"])
+def test_pallas_backend_matches_oracle(tiny_mask, mode):
     cfg = SddmmConfig(k=32, panel_height=16, backend="pallas",
-                      dense_chunk=32, residual_chunk=1024)
+                      col_mode=mode, dense_chunk=32, residual_chunk=1024)
     A, B = make_ab(tiny_mask, cfg.k)
     out = sddmm(A, B, tiny_mask, cfg)
     res = check_data(sddmm_ref(A, B, tiny_mask), out)
