@@ -1,0 +1,189 @@
+"""Tests for the baseline suite, log analyzer, suite runner, and dataset
+tools (reference scripts/ layer, SURVEY.md section 2b/2c)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from bsmr_sddmm_tpu.baselines import (BASELINE_NAMES, benchmark_baseline,
+                                      make_baseline_fn)
+from bsmr_sddmm_tpu.bench.analyze import (analyze_logs, best_per_matrix,
+                                          parse_log_files,
+                                          write_hybrid_csv,
+                                          write_results_csv)
+from bsmr_sddmm_tpu.datatools import (convert_mtx_to_npz,
+                                      convert_smtx_to_mtx, filter_dataset,
+                                      load_npz, make_matrices_list,
+                                      matrix_is_valid, unfilter_dataset)
+from bsmr_sddmm_tpu.formats import load_matrix, make_dense, random_mask, \
+    save_mtx
+from bsmr_sddmm_tpu.ops.sddmm import sddmm_ref
+from bsmr_sddmm_tpu.utils.checkdata import check_data
+from bsmr_sddmm_tpu.utils.logger import RunLog
+
+from tests.conftest import make_ab
+
+
+# ---------------------------------------------------------------------------
+# Baselines
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name", BASELINE_NAMES)
+def test_baseline_matches_oracle(tiny_mask, name):
+    A, B = make_ab(tiny_mask, 32)
+    Bt = np.ascontiguousarray(B.T)
+    fn = make_baseline_fn(name, tiny_mask, 32)
+    out = np.asarray(fn(A, Bt))
+    expected = sddmm_ref(A, B, tiny_mask)
+    assert check_data(expected, out).passed
+
+
+def test_benchmark_baseline_log_schema(tiny_mask):
+    A, B = make_ab(tiny_mask, 32)
+    log = benchmark_baseline("gather_dot", tiny_mask, A, B,
+                             iterations=2, file="tiny.mtx", validate=True)
+    assert log.check_result == "pass"
+    assert log.backend == "gather_dot"
+    assert log.gflops > 0
+    text = log.to_text()
+    assert "[File : tiny.mtx]" in text
+
+
+# ---------------------------------------------------------------------------
+# Analyzer
+# ---------------------------------------------------------------------------
+
+def _write_log(path, records):
+    with open(path, "w") as f:
+        for r in records:
+            f.write(r.to_text())
+
+
+def test_analyzer_best_per_matrix_and_speedups(tmp_path):
+    # two bsmr configs for m1 (the better one must win) + one baseline
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    r_slow = RunLog(file="m1.mtx", m=100, n=100, k=32, nnz=1000,
+                    alpha=0.1, delta=0.3, sddmm_ms=2.0)
+    r_fast = RunLog(file="m1.mtx", m=100, n=100, k=32, nnz=1000,
+                    alpha=0.3, delta=0.5, sddmm_ms=1.0,
+                    check_result="pass")
+    r_base = RunLog(file="m1.mtx", m=100, n=100, k=32, nnz=1000,
+                    backend="gather_dot", sddmm_ms=4.0)
+    _write_log(logs / "bsmr.log", [r_slow, r_fast])
+    _write_log(logs / "base.log", [r_base])
+    paths = [str(logs / "bsmr.log"), str(logs / "base.log")]
+
+    best = best_per_matrix(parse_log_files(paths))
+    assert best[("m1.mtx", 32, "bsmr")].delta == 0.5
+
+    a = analyze_logs(paths, k=32)
+    assert len(a.rows) == 1
+    assert a.rows[0]["alpha"] == 0.3
+    # bsmr is 4x the baseline (1 ms vs 4 ms at same nnz*k)
+    assert a.speedup_geomean["gather_dot"] == pytest.approx(4.0)
+    assert a.accuracy["bsmr"] == 1.0
+    assert a.mode_delta == 0.5
+
+    csv_path = write_results_csv(a, str(tmp_path / "out"))
+    assert os.path.exists(csv_path)
+    text = open(csv_path).read()
+    assert "bsmr" in text and "gather_dot" in text
+
+
+def test_analyzer_hybrid_csv(tmp_path):
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    recs = [
+        RunLog(file="m.mtx", k=32, nnz=1000, delta=0.0, sddmm_ms=2.0),
+        RunLog(file="m.mtx", k=32, nnz=1000, delta=0.3, sddmm_ms=1.0),
+        RunLog(file="m.mtx", k=32, nnz=1000, delta=1.1, sddmm_ms=3.0),
+    ]
+    _write_log(logs / "sweep.log", recs)
+    path = write_hybrid_csv([str(logs / "sweep.log")], 32,
+                            str(tmp_path / "out"))
+    rows = open(path).read().splitlines()
+    assert len(rows) == 2
+    hybrid, dense, resid = rows[1].split(",")[2:5]
+    assert float(hybrid) > float(dense) > float(resid)
+
+
+# ---------------------------------------------------------------------------
+# Dataset tools
+# ---------------------------------------------------------------------------
+
+def test_matrix_filter_semantics():
+    big = random_mask(10000, 10000, 110000, seed=1)  # dedup keeps >=1e5
+    small = random_mask(100, 100, 500, seed=2)
+    assert matrix_is_valid(big)
+    assert not matrix_is_valid(small)
+
+
+def test_filter_and_unfilter_roundtrip(tmp_path):
+    d = tmp_path / "ds"
+    d.mkdir()
+    small = random_mask(64, 64, 200, seed=3)
+    save_mtx(str(d / "small.mtx"), small)
+    kept = filter_dataset(str(d), echo=lambda *a: None)
+    assert kept == []
+    assert os.path.exists(d / "excluded" / "small.mtx")
+    assert unfilter_dataset(str(d), echo=lambda *a: None) == 1
+    assert os.path.exists(d / "small.mtx")
+
+
+def test_smtx_and_npz_conversions(tmp_path):
+    csr = random_mask(64, 80, 300, seed=4)
+    smtx = tmp_path / "m.smtx"
+    with open(smtx, "w") as f:
+        f.write(f"{csr.rows}, {csr.cols}, {csr.nnz}\n")
+        f.write(" ".join(map(str, csr.row_offsets)) + "\n")
+        f.write(" ".join(map(str, csr.col_indices)) + "\n")
+    mtx = convert_smtx_to_mtx(str(smtx))
+    rt = load_matrix(mtx)
+    assert rt.nnz == csr.nnz
+    np.testing.assert_array_equal(rt.col_indices, csr.col_indices)
+
+    npz = convert_mtx_to_npz(mtx)
+    rt2 = load_npz(npz)
+    assert rt2.nnz == csr.nnz
+    np.testing.assert_array_equal(rt2.row_offsets, rt.row_offsets)
+
+
+def test_make_matrices_list(tmp_path):
+    d = tmp_path / "ds"
+    d.mkdir()
+    save_mtx(str(d / "a.mtx"), random_mask(32, 32, 64, seed=5))
+    save_mtx(str(d / "b.mtx"), random_mask(32, 32, 64, seed=6))
+    out = tmp_path / "list.txt"
+    assert make_matrices_list(str(d), str(out)) == 2
+    lines = open(out).read().splitlines()
+    assert len(lines) == 2 and lines[0].endswith("a.mtx")
+
+
+# ---------------------------------------------------------------------------
+# Suite runner (subprocess isolation) — one real end-to-end run
+# ---------------------------------------------------------------------------
+
+def test_runner_end_to_end(tmp_path):
+    d = tmp_path / "ds"
+    d.mkdir()
+    csr = random_mask(256, 256, 4000, seed=7, block_rows=16, block_cols=64)
+    save_mtx(str(d / "t.mtx"), csr)
+    logdir = tmp_path / "logs"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "-m", "bsmr_sddmm_tpu.bench.runner",
+         "-f", "/dev/stdin", "-l", str(logdir), "-k", "32",
+         "--baselines", "gather_dot", "--validate"],
+        input=str(d / "t.mtx") + "\n", text=True, env=env,
+        capture_output=True, timeout=600)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    logfiles = sorted(os.listdir(logdir))
+    assert any(f.startswith("BSMR_") for f in logfiles)
+    assert any(f.startswith("gather_dot_") for f in logfiles)
+    a = analyze_logs([str(logdir / f) for f in logfiles], k=32)
+    assert a.accuracy.get("bsmr", 0) == 1.0
+    assert a.accuracy.get("gather_dot", 0) == 1.0
