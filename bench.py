@@ -24,10 +24,11 @@ import numpy as np
 
 K = 128
 ALPHAS = (0.3,)
-# TPU break-even density for tile-vs-residual is ~(bw/2 + ph/2)/(ph*bw)
-# ~ 0.02 at ph=32 (B-gather bytes per tile vs per-nnz gathers), far below
-# the GPU reference's 0.3 sweet spot — sweep accordingly.
-DELTAS = (0.05, 0.1, 0.3)
+# TPU break-even: a zero-gather BSR tile costs ~130 ns on v5e vs ~5.3 ns
+# per per-nnz residual entry, so a (panel, cblock) pair is worth tiling
+# from ~24 nonzeros = delta ~0.006 at 32x128 — far below the GPU
+# reference's 0.3 sweet spot. Sweep the TPU regime.
+DELTAS = (0.006, 0.05, 0.3)
 BASELINE_GEOMEAN_GFLOPS = 2927.0  # reference K=128, RTX 4090
 
 SUITE = [

@@ -76,6 +76,23 @@ class SddmmConfig:
     # Batch of cluster representatives per vectorized round ("fast" only).
     cluster_batch: int = 64
 
+    # --- residual packing ---------------------------------------------------
+    # What happens to nonzeros outside dense tiles. "gathered": pack each
+    # panel's residual columns (count-descending) into 128-wide *gathered*
+    # tiles executed as MXU matmuls against a take()-gathered B block, while
+    # chunks too sparse to amortize a tile fall back to per-nonzero
+    # gather-dot; "pernnz": everything per-nonzero (the v0 design). On TPU
+    # a gathered tile moves ~bw*K*4 B-bytes + ph*bw*4 out-bytes at full
+    # gather bandwidth, vs 2*K*4 bytes per nonzero at the ~4x-slower
+    # 512-byte-granule rate — the crossover is ~residual_tile_min_nnz
+    # nonzeros per tile (measured on TPU v5e).
+    residual_mode: str = "gathered"   # "gathered" | "pernnz"
+    # Minimum nonzeros a gathered 128-col chunk must cover to become a
+    # tile. Measured v5e rates: a gathered tile costs ~530 ns (128-row
+    # B-gather at the ~584M-descriptors/s rate + 16 KB output + MXU) vs
+    # ~5.3 ns per per-nnz entry -> crossover ~96.
+    residual_tile_min_nnz: int = 96
+
     # --- execution --------------------------------------------------------
     # "auto"   : pallas on TPU, xla elsewhere.
     # "xla"    : gather + batched-matmul + scatter, pure XLA.
@@ -110,6 +127,9 @@ class SddmmConfig:
             raise ValueError(f"unknown row_strategy {self.row_strategy!r}")
         if self.col_mode not in ("bsr", "reorder"):
             raise ValueError(f"unknown col_mode {self.col_mode!r}")
+        if self.residual_mode not in ("gathered", "pernnz"):
+            raise ValueError(
+                f"unknown residual_mode {self.residual_mode!r}")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.matmul_precision not in ("default", "bf16x3", "high",

@@ -54,6 +54,9 @@ class DevicePlan(NamedTuple):
     tile_panel: jax.Array        # (T,) int32
     tile_src: jax.Array          # (T,) cblock ids | (T, bw) col ids
     tile_scatter: jax.Array      # (T, ph, bw) int32
+    g_panel: jax.Array           # (Tg,) int32
+    g_cols: jax.Array            # (Tg, bw) int32
+    g_scatter: jax.Array         # (Tg, ph, bw) int32
     res_arow: jax.Array          # (E,) int32
     res_col: jax.Array           # (E,) int32
     res_out: jax.Array           # (E,) int32
@@ -66,6 +69,9 @@ def device_plan(plan: TilePlan) -> DevicePlan:
         tile_panel=jnp.asarray(plan.tile_panel),
         tile_src=jnp.asarray(tile_src),
         tile_scatter=jnp.asarray(plan.tile_scatter),
+        g_panel=jnp.asarray(plan.g_panel),
+        g_cols=jnp.asarray(plan.g_cols),
+        g_scatter=jnp.asarray(plan.g_scatter),
         res_arow=jnp.asarray(plan.res_arow),
         res_col=jnp.asarray(plan.res_col),
         res_out=jnp.asarray(plan.res_out),
@@ -197,6 +203,40 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
             out = out.reshape(S * dense_chunk, ph, bw)
         return out[:T]
 
+    Tg = plan.g_panel.shape[0]
+
+    def gathered_out_fn(A_panels, Bt, dplan):
+        """Compute all gathered-column tiles -> (Tg, ph, bw).
+
+        The B operand is a row gather of each tile's 128 columns — one
+        take() per chunk (64 KB per tile, the granularity where TPU
+        gathers run near stream bandwidth), then a batched MXU matmul.
+        """
+        g_chunk = max(8, min(dense_chunk, Tg))
+        g_panel = _pad_to_multiple(dplan.g_panel, g_chunk)
+        g_cols = _pad_to_multiple(dplan.g_cols, g_chunk)
+        S = g_panel.shape[0] // g_chunk
+
+        def g_step(_, chunk):
+            pc, cc = chunk
+            b = jnp.take(Bt, cc.reshape(-1), axis=0) \
+                .reshape(g_chunk, bw, k)
+            a = jnp.take(A_panels, pc, axis=0)       # (C, ph, K)
+            out = jax.lax.dot_general(
+                a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                precision=precision,
+                preferred_element_type=jnp.float32)  # (C, ph, bw)
+            return None, out
+
+        chunks = (g_panel.reshape(S, g_chunk),
+                  g_cols.reshape(S, g_chunk, bw))
+        if S == 1:
+            out = g_step(None, jax.tree.map(lambda x: x[0], chunks))[1]
+        else:
+            _, out = jax.lax.scan(g_step, None, chunks)
+            out = out.reshape(S * g_chunk, ph, bw)
+        return out[:Tg]
+
     def res_vals_fn(A_perm, Bt, dplan):
         """Compute all residual values -> (E,)."""
         res_arow = _pad_to_multiple(dplan.res_arow, res_chunk)
@@ -225,12 +265,15 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         A_perm = jnp.take(A, dplan.row_perm_padded, axis=0)  # (P*ph, K)
         A_panels = A_perm.reshape(num_panels, ph, k)
         dense_out = dense_out_fn(A_panels, Bt, dplan)
+        gathered_out = gathered_out_fn(A_panels, Bt, dplan)
         res_vals = res_vals_fn(A_perm, Bt, dplan)
         if emit == "rphm":
-            return dense_out, res_vals
+            return dense_out, gathered_out, res_vals
         P = jnp.zeros(nnz + 1, dtype=jnp.float32)
         P = P.at[dplan.tile_scatter.reshape(-1)].set(
             dense_out.reshape(-1), mode="drop", unique_indices=False)
+        P = P.at[dplan.g_scatter.reshape(-1)].set(
+            gathered_out.reshape(-1), mode="drop", unique_indices=False)
         P = P.at[dplan.res_out].set(res_vals, mode="drop",
                                     unique_indices=False)
         return P

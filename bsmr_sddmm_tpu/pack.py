@@ -64,14 +64,21 @@ class TilePlan:
     tile_cols: np.ndarray          # (T, bw) int32, col ids clipped to [0, N-1]
     tile_scatter: np.ndarray       # (T, ph, bw) int32 into [0, nnz]
 
-    # residual part (E entries after bucket padding, E0 real)
-    num_residual: int              # E0
-    res_arow: np.ndarray           # (E,) int32 into A_perm rows (pad: 0)
-    res_col: np.ndarray            # (E,) int32 (pad: 0)
-    res_out: np.ndarray            # (E,) int32 into [0, nnz]
+    # gathered tiles (Tg after bucket padding, Tg0 real): residual columns
+    # of one panel packed 128-wide; the B operand is a take()-gather
+    num_gathered: int = 0          # Tg0
+    g_panel: np.ndarray = None     # (Tg,) int32, panel id (pad: 0)
+    g_cols: np.ndarray = None      # (Tg, bw) int32 clipped to [0, N-1]
+    g_scatter: np.ndarray = None   # (Tg, ph, bw) int32 into [0, nnz]
+
+    # per-nonzero residual (E entries after bucket padding, E0 real)
+    num_residual: int = 0          # E0
+    res_arow: np.ndarray = None    # (E,) int32 into A_perm rows (pad: 0)
+    res_col: np.ndarray = None     # (E,) int32 (pad: 0)
+    res_out: np.ndarray = None     # (E,) int32 into [0, nnz]
 
     # row permutation padded to num_panels * panel_height (pad: 0)
-    row_perm_padded: np.ndarray    # (num_panels*ph,) int32
+    row_perm_padded: np.ndarray = None   # (num_panels*ph,) int32
 
     pack_time_ms: float = 0.0
     # column mode: "bsr" tiles are natural column blocks (tile_cblock valid,
@@ -82,8 +89,15 @@ class TilePlan:
     # --- statistics (reference evaluationReordering, BSMR.cpp:826-930) ---
     @property
     def dense_nnz(self) -> int:
-        """Nonzeros covered by dense tiles."""
+        """Nonzeros covered by dense (BSR/reordered) tiles."""
         return int((self.tile_scatter < self.nnz).sum())
+
+    @property
+    def gathered_nnz(self) -> int:
+        """Nonzeros covered by gathered-column tiles."""
+        if self.g_scatter is None:
+            return 0
+        return int((self.g_scatter < self.nnz).sum())
 
     @property
     def residual_nnz(self) -> int:
@@ -97,24 +111,28 @@ class TilePlan:
         return self.dense_nnz / slots
 
     def csr_values_from_rphm(self, dense_out: np.ndarray,
+                             gathered_out: np.ndarray,
                              res_vals: np.ndarray) -> np.ndarray:
         """Host-side assembly of CSR-order values from the rphm-layout
-        output (the static bijection recorded in tile_scatter/res_out)."""
+        outputs (the static bijection recorded in tile_scatter/g_scatter/
+        res_out)."""
         P = np.empty(self.nnz + 1, dtype=np.float32)
         P[self.tile_scatter.reshape(-1)] = np.asarray(dense_out).reshape(-1)
+        if self.g_scatter is not None and self.g_scatter.size:
+            P[self.g_scatter.reshape(-1)] = \
+                np.asarray(gathered_out).reshape(-1)
         P[self.res_out] = np.asarray(res_vals)
         return P[:self.nnz]
 
     def flops(self) -> dict:
         """Raw device flops vs useful flops (2*nnz*K is the benchmark
         numerator, include/Logger.hpp:178-180)."""
-        dense_raw = 2 * self.num_tiles * self.panel_height \
-            * self.block_width * self.k
-        res_raw = 2 * self.num_residual * self.k
+        tile_flops = 2 * self.panel_height * self.block_width * self.k
         return {
             "useful": 2 * self.nnz * self.k,
-            "dense_raw": dense_raw,
-            "residual_raw": res_raw,
+            "dense_raw": self.num_tiles * tile_flops,
+            "gathered_raw": self.num_gathered * tile_flops,
+            "residual_raw": 2 * self.num_residual * self.k,
         }
 
 
@@ -190,17 +208,106 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         tile_cols[:num_tiles0] = np.minimum(
             dense_cols.reshape(num_tiles0, bw), N - 1).astype(np.int32)
 
-    # --- residual ----------------------------------------------------------
+    # --- residual: gathered tiles + per-nnz tail ---------------------------
+    # Residual entries are split a second time (reference has no analogue;
+    # this is the TPU cost model speaking): per panel, residual columns are
+    # sorted by in-panel count descending and packed into bw-wide *gathered*
+    # tiles as long as a tile covers >= residual_tile_min_nnz nonzeros —
+    # above that, one 64 KB B-gather + an MXU matmul moves fewer bytes than
+    # per-nonzero 512-byte row gathers. The tail stays per-nonzero COO.
     res_mask = ~is_dense
-    num_residual0 = int(res_mask.sum())
+    r_panel = panel_of_entry[res_mask]
+    r_col = cols_of_entry[res_mask]
+    r_lrow = (pos_in_perm[res_mask] % ph).astype(np.int64)
+    r_arow = pos_in_perm[res_mask]
+    r_csr = entry_idx[res_mask]
+
+    num_gathered0 = 0
+    g_panel = np.zeros(0, np.int32)
+    g_cols = np.zeros((0, bw), np.int32)
+    g_scatter = np.zeros((0, ph, bw), np.int32)
+    in_gathered = np.zeros(r_panel.shape[0], dtype=bool)
+
+    if config.residual_mode == "gathered" and r_panel.shape[0]:
+        # unique (panel, col) with counts
+        rk = r_panel * sent + r_col
+        rk_order = np.argsort(rk, kind="stable")
+        rk_sorted = rk[rk_order]
+        uq_pos = np.nonzero(np.diff(rk_sorted, prepend=-1))[0]
+        uq_keys = rk_sorted[uq_pos]
+        uq_counts = np.diff(np.append(uq_pos, rk_sorted.shape[0]))
+        uq_panel = uq_keys // sent
+        uq_col = uq_keys % sent
+        # per panel: count desc, col asc on ties (deterministic)
+        srt = np.lexsort((uq_col, -uq_counts, uq_panel))
+        uq_panel, uq_col, uq_counts = \
+            uq_panel[srt], uq_col[srt], uq_counts[srt]
+        # chunk into bw-wide groups per panel
+        pstart = np.searchsorted(uq_panel, np.arange(num_panels + 1))
+        within = np.arange(uq_panel.shape[0]) - pstart[uq_panel]
+        chunk_of_col = within // bw          # per-panel chunk index
+        ckey = uq_panel * sent + chunk_of_col
+        cpos = np.nonzero(np.diff(ckey, prepend=-1))[0]
+        chunk_nnz = np.add.reduceat(uq_counts, cpos) \
+            if cpos.size else np.zeros(0, np.int64)
+        keep_chunk = chunk_nnz >= config.residual_tile_min_nnz
+        # chunk index per unique col (chunks enumerate in sorted order)
+        col_chunk = np.searchsorted(cpos, np.arange(uq_panel.shape[0]),
+                                    side="right") - 1
+        col_kept = keep_chunk[col_chunk]
+        kept_chunks = np.nonzero(keep_chunk)[0]
+        num_gathered0 = kept_chunks.shape[0]
+        if num_gathered0:
+            # global gathered-tile id per kept chunk
+            tile_of_chunk = np.full(keep_chunk.shape[0], -1, np.int64)
+            tile_of_chunk[kept_chunks] = np.arange(num_gathered0)
+            Tg = bucket_size(num_gathered0, config.bucket_shapes)
+            g_panel = np.zeros(Tg, np.int32)
+            g_panel[:num_gathered0] = uq_panel[cpos[kept_chunks]]
+            g_cols_full = np.full((Tg, bw), N - 1, np.int32)
+            g_scatter = np.full((Tg, ph, bw), nnz, dtype=np.int32)
+            # local col slot within the chunk
+            local_slot = (within % bw).astype(np.int64)
+            kept_cols = np.nonzero(col_kept)[0]
+            g_cols_full[tile_of_chunk[col_chunk[kept_cols]],
+                        local_slot[kept_cols]] = \
+                np.minimum(uq_col[kept_cols], N - 1).astype(np.int32)
+            g_cols = g_cols_full
+            # route entries: entry key -> index into the (panel, -count)
+            # sorted unique arrays, via an argsort of the unique keys
+            uq_resort = np.argsort(uq_panel * sent + uq_col, kind="stable")
+            uq_keys_sorted2 = (uq_panel * sent + uq_col)[uq_resort]
+            pos2 = np.searchsorted(uq_keys_sorted2, rk)
+            ent_uqidx = uq_resort[pos2]
+            ent_kept = col_kept[ent_uqidx]
+            in_gathered = ent_kept
+            tgt_tile = tile_of_chunk[col_chunk[ent_uqidx[ent_kept]]]
+            tgt_slot = local_slot[ent_uqidx[ent_kept]]
+            g_scatter[tgt_tile, r_lrow[ent_kept], tgt_slot] = \
+                r_csr[ent_kept].astype(np.int32)
+        else:
+            g_cols = np.zeros((0, bw), np.int32)
+            g_scatter = np.zeros((0, ph, bw), np.int32)
+            g_panel = np.zeros(0, np.int32)
+
+    # Tg padding floor: keep at least one (trash) tile so device shapes are
+    # never zero-sized
+    if g_panel.shape[0] == 0:
+        Tg = bucket_size(0, config.bucket_shapes)
+        g_panel = np.zeros(Tg, np.int32)
+        g_cols = np.full((Tg, bw), max(N - 1, 0), np.int32)
+        g_scatter = np.full((Tg, ph, bw), nnz, dtype=np.int32)
+
+    tail = ~in_gathered
+    num_residual0 = int(tail.sum())
     E = bucket_size(num_residual0, config.bucket_shapes, granule=8)
     res_arow = np.zeros(E, dtype=np.int32)
     res_col = np.zeros(E, dtype=np.int32)
     res_out = np.full(E, nnz, dtype=np.int32)
     if num_residual0:
-        res_arow[:num_residual0] = pos_in_perm[res_mask]
-        res_col[:num_residual0] = cols_of_entry[res_mask]
-        res_out[:num_residual0] = entry_idx[res_mask].astype(np.int32)
+        res_arow[:num_residual0] = r_arow[tail]
+        res_col[:num_residual0] = r_col[tail]
+        res_out[:num_residual0] = r_csr[tail].astype(np.int32)
 
     # --- padded row permutation --------------------------------------------
     row_perm_padded = np.zeros(num_panels * ph, dtype=np.int32)
@@ -231,6 +338,8 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         num_tiles=num_tiles0,
         tile_panel=tile_panel, tile_cols=tile_cols,
         tile_scatter=tile_scatter,
+        num_gathered=num_gathered0,
+        g_panel=g_panel, g_cols=g_cols, g_scatter=g_scatter,
         num_residual=num_residual0,
         res_arow=res_arow, res_col=res_col, res_out=res_out,
         row_perm_padded=row_perm_padded,

@@ -67,6 +67,10 @@ def shard_device_plan(plan: TilePlan, mesh: Mesh) -> DevicePlan:
         tile_src=put(_pad_leading(tile_src, n, 0), sharded),
         tile_scatter=put(_pad_leading(plan.tile_scatter, n, plan.nnz),
                          sharded),
+        g_panel=put(_pad_leading(plan.g_panel, n, 0), sharded),
+        g_cols=put(_pad_leading(plan.g_cols, n,
+                                max(plan.cols - 1, 0)), sharded),
+        g_scatter=put(_pad_leading(plan.g_scatter, n, plan.nnz), sharded),
         res_arow=put(_pad_leading(plan.res_arow, n, 0), sharded),
         res_col=put(_pad_leading(plan.res_col, n, 0), sharded),
         res_out=put(_pad_leading(plan.res_out, n, plan.nnz), sharded),
@@ -91,6 +95,9 @@ def make_sharded_sddmm_fn(plan: TilePlan, config: SddmmConfig,
         "tile_cblock": (shard0(plan.tile_cblock, 0)
                         if plan.tile_cblock is not None else None),
         "tile_scatter": shard0(plan.tile_scatter, plan.nnz),
+        "g_panel": shard0(plan.g_panel, 0),
+        "g_cols": shard0(plan.g_cols, max(plan.cols - 1, 0)),
+        "g_scatter": shard0(plan.g_scatter, plan.nnz),
         "res_arow": shard0(plan.res_arow, 0),
         "res_col": shard0(plan.res_col, 0),
         "res_out": shard0(plan.res_out, plan.nnz),
@@ -109,6 +116,8 @@ def make_sharded_sddmm_fn(plan: TilePlan, config: SddmmConfig,
                   DevicePlan(row_perm_padded=P(),
                              tile_panel=P(AXIS), tile_src=P(AXIS),
                              tile_scatter=P(AXIS),
+                             g_panel=P(AXIS), g_cols=P(AXIS),
+                             g_scatter=P(AXIS),
                              res_arow=P(AXIS), res_col=P(AXIS),
                              res_out=P(AXIS))),
         out_specs=P(),

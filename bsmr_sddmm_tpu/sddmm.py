@@ -65,7 +65,8 @@ class BsmrSddmm:
 
     def compile(self, plan: TilePlan, backend: Optional[str] = None,
                 emit: str = "csr"):
-        key = (plan.tile_panel.shape, plan.res_arow.shape, plan.num_panels,
+        key = (plan.tile_panel.shape, plan.g_panel.shape,
+               plan.res_arow.shape, plan.num_panels,
                plan.k, plan.nnz, plan.mode, emit,
                backend or self.config.backend)
         if key not in self._fn_cache:
@@ -121,7 +122,9 @@ class BsmrSddmm:
             num_clusters=reord.num_clusters,
             num_row_panels=plan.num_panels,
             num_dense_blocks=plan.num_tiles,
+            num_gathered_blocks=plan.num_gathered,
             dense_nnz=plan.dense_nnz,
+            gathered_nnz=plan.gathered_nnz,
             residual_nnz=plan.residual_nnz,
             average_tile_density=plan.average_tile_density,
             row_reordering_ms=reord.row_time_ms,

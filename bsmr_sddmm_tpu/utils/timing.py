@@ -29,12 +29,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _perturbed(arg, i: int):
-    """A distinct-but-numerically-equal device buffer per iteration."""
-    if isinstance(arg, jax.Array) and jnp.issubdtype(arg.dtype,
-                                                     jnp.floating):
-        return arg + jnp.float32(i) * jnp.float32(1e-30)
-    return arg
+_EPS = {jnp.dtype(jnp.float64): 1e-12, jnp.dtype(jnp.float32): 1e-6,
+        jnp.dtype(jnp.bfloat16): 1e-2, jnp.dtype(jnp.float16): 1e-3}
+
+
+def _perturbed(args, i: int):
+    """Distinct per-iteration input buffers whose *contents* differ.
+
+    The runtime (observed on the axon TPU relay) deduplicates repeated
+    submissions whose executable and input contents match, timing them as
+    ~0; a same-buffer or numerically-absorbed perturbation (x + 1e-30 in
+    fp32) does NOT defeat it. So scale every floating leaf by
+    (1 + i * ulp-ish): content changes, results stay within validation
+    tolerance (rel error <= iterations * eps << 1e-3 for fp32)."""
+    def leaf(x):
+        if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype,
+                                                       jnp.floating):
+            eps = _EPS.get(jnp.dtype(x.dtype), 1e-6)
+            return x * x.dtype.type(1.0 + i * eps)
+        return x
+    return jax.tree.map(leaf, args)
 
 
 def force(result) -> None:
@@ -53,18 +67,18 @@ def time_jitted(fn: Callable, *args, iterations: int = 10,
     n_lo = max(1, iterations // 2)
     n_hi = n_lo + iterations
     total = warmup + n_lo + n_hi
-    variants = [_perturbed(args[0], i) for i in range(total)]
+    variants = [_perturbed(args, i) for i in range(total)]
     # materialize all inputs before timing
     force(variants[-1])
 
     result = None
     for i in range(warmup):
-        result = fn(variants[i], *args[1:])
+        result = fn(*variants[i])
     force(result)
 
     def batch(lo: int, n: int) -> float:
         t0 = time.perf_counter()
-        rs = [fn(variants[lo + i], *args[1:]) for i in range(n)]
+        rs = [fn(*variants[lo + i]) for i in range(n)]
         force(rs[-1])
         return time.perf_counter() - t0
 

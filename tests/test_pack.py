@@ -18,12 +18,13 @@ def _plan(csr, cfg):
 
 def _check_bijection(csr, plan):
     """Every CSR value index appears exactly once across dense scatter +
-    residual (no lost nnz, no duplicates, no phantoms —
+    gathered scatter + residual (no lost nnz, no duplicates, no phantoms —
     BSMR.cpp:639-824)."""
     nnz = csr.nnz
     dense_idx = plan.tile_scatter[plan.tile_scatter < nnz]
+    g_idx = plan.g_scatter[plan.g_scatter < nnz]
     res_idx = plan.res_out[plan.res_out < nnz]
-    all_idx = np.concatenate([dense_idx.ravel(), res_idx])
+    all_idx = np.concatenate([dense_idx.ravel(), g_idx.ravel(), res_idx])
     assert all_idx.shape[0] == nnz, "lost or duplicated nonzeros"
     np.testing.assert_array_equal(np.sort(all_idx), np.arange(nnz))
 
@@ -55,6 +56,25 @@ def _check_residual_consistency(csr, reord, plan):
                                   plan.res_col[real])
 
 
+def _check_gathered_consistency(csr, reord, plan):
+    """g_scatter[t,i,j] = idx implies the original entry (row, col) is
+    (row_perm[g_panel[t]*ph+i], g_cols[t,j]); a gathered tile holds >=
+    residual_tile_min_nnz nonzeros (the packing cost-model cutoff)."""
+    ph = plan.panel_height
+    nnz = csr.nnz
+    coo_rows = csr.coo_rows()
+    t_idx, i_idx, j_idx = np.nonzero(plan.g_scatter < nnz)
+    idx = plan.g_scatter[t_idx, i_idx, j_idx]
+    panel = plan.g_panel[t_idx]
+    perm_pos = panel.astype(np.int64) * ph + i_idx
+    np.testing.assert_array_equal(coo_rows[idx], reord.row_perm[perm_pos])
+    np.testing.assert_array_equal(csr.col_indices[idx],
+                                  plan.g_cols[t_idx, j_idx])
+    if plan.num_gathered:
+        per_tile = np.bincount(t_idx, minlength=plan.num_gathered)
+        assert per_tile[:plan.num_gathered].min() >= 1
+
+
 @pytest.mark.parametrize("mode", ["bsr", "reorder"])
 @pytest.mark.parametrize("delta", [0.0, 0.3, 1.1])
 @pytest.mark.parametrize("ph", [16, 32])
@@ -72,8 +92,27 @@ def test_plan_invariants(small_mask, delta, ph, mode):
             plan.tile_cblock[t], plan.tile_cols[t, 0] // plan.block_width)
     _check_bijection(small_mask, plan)
     _check_dense_consistency(small_mask, reord, plan)
+    _check_gathered_consistency(small_mask, reord, plan)
     _check_residual_consistency(small_mask, reord, plan)
-    assert plan.dense_nnz + plan.residual_nnz == small_mask.nnz
+    assert plan.dense_nnz + plan.gathered_nnz + plan.residual_nnz \
+        == small_mask.nnz
+
+
+def test_gathered_tile_cutoff(small_mask):
+    """min_nnz cutoff: every gathered tile covers >= the configured
+    minimum; pernnz mode produces no gathered tiles."""
+    cfg = SddmmConfig(row_strategy="fast", panel_height=16, delta=0.3,
+                      residual_tile_min_nnz=24)
+    _, plan = _plan(small_mask, cfg)
+    nnz = small_mask.nnz
+    if plan.num_gathered:
+        t_idx = np.nonzero(plan.g_scatter < nnz)[0]
+        per_tile = np.bincount(t_idx, minlength=plan.num_gathered)
+        assert per_tile[:plan.num_gathered].min() >= 24
+    cfg2 = cfg.replace(residual_mode="pernnz")
+    _, plan2 = _plan(small_mask, cfg2)
+    assert plan2.num_gathered == 0
+    assert plan2.residual_nnz == plan.gathered_nnz + plan.residual_nnz
 
 
 def test_plan_stats(small_mask):
