@@ -75,6 +75,9 @@ class SddmmConfig:
     row_strategy: str = "fast"
     # Batch of cluster representatives per vectorized round ("fast" only).
     cluster_batch: int = 64
+    # Use the C++/OpenMP clustering (bsmr_sddmm_tpu.native) when it can be
+    # built; same semantics as the NumPy strategies, ~100x faster.
+    use_native: bool = True
 
     # --- residual packing ---------------------------------------------------
     # What happens to nonzeros outside dense tiles. "gathered": pack each

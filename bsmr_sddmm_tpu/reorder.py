@@ -207,6 +207,26 @@ def _cluster_fast(enc: sp.csr_matrix, order: np.ndarray,
     return cluster_of_pos
 
 
+def _cluster_native(enc: sp.csr_matrix, order: np.ndarray, alpha: float,
+                    exact: bool) -> Optional[np.ndarray]:
+    """C++/OpenMP clustering (bsmr_sddmm_tpu.native); same semantics as
+    the NumPy strategies, ~100x faster. Returns None when the native
+    library cannot be built (reorder falls back to NumPy)."""
+    from bsmr_sddmm_tpu import native
+    if not native.available():
+        return None
+    enc_ord = enc[order].tocsr()
+    l2, l1_hat = _normalized_rows(enc_ord)
+    nnz_per_row = np.diff(enc_ord.indptr)
+    data_hat = enc_ord.data / np.repeat(np.maximum(l2, 1e-300),
+                                        nnz_per_row)
+    return native.cluster(enc_ord.indptr.astype(np.int64),
+                          enc_ord.indices.astype(np.int32),
+                          enc_ord.data.astype(np.float64), data_hat,
+                          l1_hat.astype(np.float64),
+                          enc.shape[1], alpha, exact=exact)
+
+
 @dataclasses.dataclass
 class BsmrReordering:
     """Result of the BSMR preprocessing (reference class BSMR,
@@ -257,10 +277,16 @@ def row_reordering(csr: CSR, alpha: float, config: SddmmConfig
     # unstable; stable makes results deterministic)
     order_local = np.argsort(disp[nonzero_rows], kind="stable")
     order = nonzero_rows[order_local]  # original row ids, ascending disp
-    if config.row_strategy == "exact":
-        cluster_of_pos = _cluster_exact(enc, order, alpha)
-    else:
-        cluster_of_pos = _cluster_fast(enc, order, alpha)
+    cluster_of_pos = None
+    if config.use_native:
+        cluster_of_pos = _cluster_native(enc, order, alpha,
+                                         exact=config.row_strategy
+                                         == "exact")
+    if cluster_of_pos is None:
+        if config.row_strategy == "exact":
+            cluster_of_pos = _cluster_exact(enc, order, alpha)
+        else:
+            cluster_of_pos = _cluster_fast(enc, order, alpha)
     # final permutation: stable sort of the ascending-dispersion row order
     # by cluster id (rowReordering.cu:986-996)
     final = np.argsort(cluster_of_pos, kind="stable")
