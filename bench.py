@@ -7,12 +7,13 @@ Baseline: the reference's K=128 geometric-mean GFLOPS over its SuiteSparse
 suite, best per matrix over the alpha x delta sweep = 2927 GFLOPS on an
 RTX 4090 (BASELINE.md; scripts/results_suiteSparse_dataset/k128/
 results_128.csv). The SuiteSparse tarballs cannot be downloaded here (zero
-egress), so the suite is a deterministic synthetic stand-in spanning the
-filter range of the reference dataset (m,n >= 10000, nnz >= 100000,
-exclude_invalid_dataset.py:47) with varying block structure and noise —
-the same generator the tests use. Per matrix we sweep delta (row
-reordering cached per alpha, as the reference test mode does) and keep the
-best, mirroring the reference's best-config-per-matrix methodology
+egress), so the suite is a deterministic synthetic stand-in for the
+reference's filtered dataset (m,n >= 10000, nnz >= 100000,
+exclude_invalid_dataset.py:47): R-MAT power-law graphs, banded FEM/mesh
+matrices, latent-community graphs, and one uniform-noise worst case
+(bsmr_sddmm_tpu/datasets.py). Per matrix we sweep delta (row reordering
+cached per alpha, as the reference test mode does) and keep the best,
+mirroring the reference's best-config-per-matrix methodology
 (scripts/analyze_results.cpp:316-331).
 """
 
@@ -31,35 +32,18 @@ ALPHAS = (0.3,)
 DELTAS = (0.006, 0.05, 0.3)
 BASELINE_GEOMEAN_GFLOPS = 2927.0  # reference K=128, RTX 4090
 
-SUITE = [
-    # rows, cols, nnz, block_rows, block_cols, seed   (structured -> noisy)
-    dict(rows=10000, cols=10000, nnz=400_000, block_rows=32, block_cols=256,
-         seed=101, block_fill=0.9),
-    dict(rows=16384, cols=16384, nnz=1_000_000, block_rows=64,
-         block_cols=512, seed=102, block_fill=0.8),
-    dict(rows=10000, cols=10000, nnz=250_000, block_rows=16, block_cols=128,
-         seed=103, block_fill=0.7),
-    dict(rows=32768, cols=32768, nnz=2_000_000, block_rows=48,
-         block_cols=384, seed=104, block_fill=0.8),
-    dict(rows=12000, cols=12000, nnz=600_000, block_rows=24, block_cols=192,
-         seed=105, block_fill=0.6),
-    dict(rows=10000, cols=20000, nnz=500_000, block_rows=40, block_cols=320,
-         seed=106, block_fill=0.85),
-    dict(rows=20000, cols=20000, nnz=800_000, block_rows=0, block_cols=0,
-         seed=107, block_fill=0.0),   # pure uniform: worst case
-    dict(rows=16384, cols=16384, nnz=1_500_000, block_rows=96,
-         block_cols=768, seed=108, block_fill=0.9),
-]
+SUITE = None  # bsmr_sddmm_tpu.datasets.SUITE, imported in main()
 
 
 def main() -> int:
     from bsmr_sddmm_tpu.config import SddmmConfig
-    from bsmr_sddmm_tpu.formats import make_dense, random_mask
+    from bsmr_sddmm_tpu.datasets import SUITE
+    from bsmr_sddmm_tpu.formats import make_dense
     from bsmr_sddmm_tpu.sddmm import BsmrSddmm
 
     best_gflops = []
-    for spec in SUITE:
-        csr = random_mask(**spec)
+    for name, gen in SUITE:
+        csr = gen()
         cfg = SddmmConfig(k=K, panel_height=32, num_iterations=10)
         pipe = BsmrSddmm(csr, cfg)
         A = make_dense(csr.rows, K, seed=1337)
@@ -68,16 +52,17 @@ def main() -> int:
         for alpha in ALPHAS:
             for delta in DELTAS:
                 log = pipe.benchmark(A, B, alpha=alpha, delta=delta,
-                                     file=f"synth_{spec['seed']}")
+                                     file=name)
                 per_matrix = max(per_matrix, log.gflops)
                 print(f"# {log.file} a={alpha} d={delta} "
                       f"k={K}: {log.gflops:.0f} GFLOPS "
                       f"({log.sddmm_ms:.3f} ms, dense {log.dense_nnz}, "
+                      f"gath {log.gathered_nnz}, "
                       f"res {log.residual_nnz})", file=sys.stderr)
         best_gflops.append(per_matrix)
     geomean = float(np.exp(np.mean(np.log(np.maximum(best_gflops, 1e-9)))))
     print(json.dumps({
-        "metric": "sddmm_geomean_gflops_k128_synth8",
+        "metric": "sddmm_geomean_gflops_k128_suite8",
         "value": round(geomean, 1),
         "unit": "GFLOPS",
         "vs_baseline": round(geomean / BASELINE_GEOMEAN_GFLOPS, 4),

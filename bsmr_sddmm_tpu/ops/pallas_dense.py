@@ -166,3 +166,9 @@ def make_dense_tile_kernel(num_panels: int, ph: int, bw: int, k: int,
         return call(tile_panel, A_panels, b_tiles)
 
     return fn
+
+
+# The gathered-residual tier consumes pre-gathered B tiles exactly like the
+# reorder-mode dense path: same kernel, and crucially the fp32->bf16 hi/lo
+# precision split happens in VMEM instead of round-tripping through HBM.
+make_gathered_tile_kernel = make_dense_tile_kernel

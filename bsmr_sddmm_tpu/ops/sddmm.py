@@ -60,6 +60,7 @@ class DevicePlan(NamedTuple):
     res_arow: jax.Array          # (E,) int32
     res_col: jax.Array           # (E,) int32
     res_out: jax.Array           # (E,) int32
+    rphm_to_csr: jax.Array       # (nnz,) int32 (empty in shard-local plans)
 
 
 def device_plan(plan: TilePlan) -> DevicePlan:
@@ -75,6 +76,9 @@ def device_plan(plan: TilePlan) -> DevicePlan:
         res_arow=jnp.asarray(plan.res_arow),
         res_col=jnp.asarray(plan.res_col),
         res_out=jnp.asarray(plan.res_out),
+        rphm_to_csr=jnp.asarray(
+            plan.rphm_to_csr if plan.rphm_to_csr is not None
+            else np.zeros(0, np.int32)),
     )
 
 
@@ -112,7 +116,7 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
     Shared by the single-chip jit and the shard_map multi-chip wrapper.
     """
     backend = resolve_backend(config.backend if backend is None else backend)
-    if emit not in ("csr", "rphm"):
+    if emit not in ("csr", "csr_scatter", "rphm"):
         raise ValueError(f"unknown emit {emit!r}")
     ph, bw, k = plan.panel_height, plan.block_width, plan.k
     num_panels = max(plan.num_panels, 1)
@@ -209,8 +213,13 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         """Compute all gathered-column tiles -> (Tg, ph, bw).
 
         The B operand is a row gather of each tile's 128 columns — one
-        take() per chunk (64 KB per tile, the granularity where TPU
-        gathers run near stream bandwidth), then a batched MXU matmul.
+        take() per chunk, then a batched matmul. The tier is serialized
+        (XLA runs the gather, then the matmul), so its floor is gather
+        descriptor time (~584M rows/s on v5e) plus the bytes moved; the
+        plain XLA dot_general formulation measured faster than both
+        pallas variants tried (fp32-retile and bf16 hi/lo-pair gathers —
+        bf16 blocks force Mosaic relayouts that cost more than the
+        conversion traffic they save).
         """
         g_chunk = max(8, min(dense_chunk, Tg))
         g_panel = _pad_to_multiple(dplan.g_panel, g_chunk)
@@ -269,6 +278,14 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         res_vals = res_vals_fn(A_perm, Bt, dplan)
         if emit == "rphm":
             return dense_out, gathered_out, res_vals
+        if emit == "csr":
+            # one gather along the precomputed inverse map — no scatter
+            big = jnp.concatenate([dense_out.reshape(-1),
+                                   gathered_out.reshape(-1), res_vals])
+            return jnp.take(big, dplan.rphm_to_csr)
+        # "csr_scatter": scatter every (padded) slot; slow, but each
+        # non-owned slot lands in the trash element, which is what the
+        # shard_map path needs (per-shard partials psum to the total)
         P = jnp.zeros(nnz + 1, dtype=jnp.float32)
         P = P.at[dplan.tile_scatter.reshape(-1)].set(
             dense_out.reshape(-1), mode="drop", unique_indices=False)
@@ -292,7 +309,7 @@ def make_sddmm_fn(plan: TilePlan, config: SddmmConfig,
     body = make_sddmm_body(plan, config, backend, emit=emit)
     nnz = plan.nnz
 
-    if emit == "rphm":
+    if emit in ("rphm", "csr"):
         return jax.jit(body)
 
     def fn(A, Bt, dplan):

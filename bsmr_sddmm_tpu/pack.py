@@ -80,6 +80,13 @@ class TilePlan:
     # row permutation padded to num_panels * panel_height (pad: 0)
     row_perm_padded: np.ndarray = None   # (num_panels*ph,) int32
 
+    # inverse of the scatter maps: for CSR value index i,
+    # rphm_to_csr[i] is its offset in concat(dense_out.ravel(),
+    # gathered_out.ravel(), res_vals) — CSR emission is then ONE gather
+    # (scattering every padded tile slot costs ~50x more: most slots are
+    # trash, and TPU scatters run at ~200M elem/s)
+    rphm_to_csr: np.ndarray = None       # (nnz,) int32
+
     pack_time_ms: float = 0.0
     # column mode: "bsr" tiles are natural column blocks (tile_cblock valid,
     # B reads contiguous); "reorder" tiles gather tile_cols per tile
@@ -313,6 +320,7 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     row_perm_padded = np.zeros(num_panels * ph, dtype=np.int32)
     row_perm_padded[:R] = perm
 
+
     # bsr mode: tiles are block-aligned, so the whole B read for tile t is
     # the contiguous slice Bt[cblock*bw : (cblock+1)*bw]. Sort tiles by
     # (cblock, panel): consecutive grid steps with the same cblock then
@@ -332,6 +340,25 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
             tile_cblock[:num_tiles0] = tile_cblock[:num_tiles0][order]
             tile_scatter[:num_tiles0] = tile_scatter[:num_tiles0][order]
 
+    # --- inverse scatter map (rphm layout -> CSR order) --------------------
+    T_pad = tile_scatter.shape[0]
+    Tg_pad = g_scatter.shape[0]
+    n_dense_slots = T_pad * ph * bw
+    n_gath_slots = Tg_pad * ph * bw
+    total_slots = n_dense_slots + n_gath_slots + res_out.shape[0]
+    assert total_slots < np.iinfo(np.int32).max
+    rphm_to_csr = np.zeros(nnz, dtype=np.int32)
+    ts_flat = tile_scatter.reshape(-1)
+    m = ts_flat < nnz
+    rphm_to_csr[ts_flat[m]] = np.nonzero(m)[0].astype(np.int32)
+    gs_flat = g_scatter.reshape(-1)
+    m = gs_flat < nnz
+    rphm_to_csr[gs_flat[m]] = (np.nonzero(m)[0]
+                               + n_dense_slots).astype(np.int32)
+    m = res_out < nnz
+    rphm_to_csr[res_out[m]] = (np.nonzero(m)[0] + n_dense_slots
+                               + n_gath_slots).astype(np.int32)
+
     plan = TilePlan(
         rows=csr.rows, cols=N, nnz=nnz, k=k,
         panel_height=ph, block_width=bw, num_panels=num_panels,
@@ -343,6 +370,7 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         num_residual=num_residual0,
         res_arow=res_arow, res_col=res_col, res_out=res_out,
         row_perm_padded=row_perm_padded,
+        rphm_to_csr=rphm_to_csr,
         mode=mode, tile_cblock=tile_cblock,
     )
     plan.pack_time_ms = (_time.perf_counter() - t0) * 1e3

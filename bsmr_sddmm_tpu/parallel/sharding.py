@@ -74,6 +74,7 @@ def shard_device_plan(plan: TilePlan, mesh: Mesh) -> DevicePlan:
         res_arow=put(_pad_leading(plan.res_arow, n, 0), sharded),
         res_col=put(_pad_leading(plan.res_col, n, 0), sharded),
         res_out=put(_pad_leading(plan.res_out, n, plan.nnz), sharded),
+        rphm_to_csr=put(np.zeros(0, np.int32), repl),
     )
 
 
@@ -102,7 +103,8 @@ def make_sharded_sddmm_fn(plan: TilePlan, config: SddmmConfig,
         "res_col": shard0(plan.res_col, 0),
         "res_out": shard0(plan.res_out, plan.nnz),
     })
-    body = make_sddmm_body(local, config, backend)
+    body = make_sddmm_body(local, config, backend,
+                           emit="csr_scatter")
     nnz = plan.nnz
 
     def shard_body(A, Bt, dplan):
@@ -119,7 +121,7 @@ def make_sharded_sddmm_fn(plan: TilePlan, config: SddmmConfig,
                              g_panel=P(AXIS), g_cols=P(AXIS),
                              g_scatter=P(AXIS),
                              res_arow=P(AXIS), res_col=P(AXIS),
-                             res_out=P(AXIS))),
+                             res_out=P(AXIS), rphm_to_csr=P())),
         out_specs=P(),
     )
     return jax.jit(mapped)
