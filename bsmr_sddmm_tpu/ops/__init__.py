@@ -3,8 +3,10 @@
 from bsmr_sddmm_tpu.ops.sddmm import (
     DevicePlan,
     device_plan,
+    make_batched_sddmm_fn,
     make_sddmm_fn,
     sddmm_ref,
 )
 
-__all__ = ["DevicePlan", "device_plan", "make_sddmm_fn", "sddmm_ref"]
+__all__ = ["DevicePlan", "device_plan", "make_batched_sddmm_fn",
+           "make_sddmm_fn", "sddmm_ref"]

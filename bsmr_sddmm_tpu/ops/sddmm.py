@@ -318,6 +318,28 @@ def make_sddmm_fn(plan: TilePlan, config: SddmmConfig,
     return jax.jit(fn)
 
 
+def make_batched_sddmm_fn(plan: TilePlan, config: SddmmConfig,
+                          backend: Optional[str] = None,
+                          emit: str = "csr") -> Callable:
+    """Batched hybrid SDDMM over a leading Z dimension of both operands
+    (reference sddmm_gpu_batch, src/sddmmKernel.cu:2764-2850, which runs
+    the batch over grid.z): ``fn(A (Z, M, K), Bt (Z, N, K), dplan)``.
+
+    The TilePlan (mask structure) is shared across the batch — the
+    reference's batch semantics — so this is a plain vmap of the body; XLA
+    turns the per-tile matmuls into batched MXU contractions."""
+    body = make_sddmm_body(plan, config, backend, emit=emit)
+    nnz = plan.nnz
+    mapped = jax.vmap(body, in_axes=(0, 0, None))
+    if emit in ("rphm", "csr"):
+        return jax.jit(mapped)
+
+    def fn(A, Bt, dplan):
+        return mapped(A, Bt, dplan)[:, :nnz]
+
+    return jax.jit(fn)
+
+
 # ---------------------------------------------------------------------------
 # Reference oracle + simple baselines
 # ---------------------------------------------------------------------------

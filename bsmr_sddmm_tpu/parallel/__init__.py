@@ -1,4 +1,6 @@
 from bsmr_sddmm_tpu.parallel.sharding import (make_mesh, shard_device_plan,
-                                              make_sharded_sddmm_fn)
+                                              make_sharded_sddmm_fn,
+                                              shard_operands)
 
-__all__ = ["make_mesh", "shard_device_plan", "make_sharded_sddmm_fn"]
+__all__ = ["make_mesh", "shard_device_plan", "make_sharded_sddmm_fn",
+           "shard_operands"]

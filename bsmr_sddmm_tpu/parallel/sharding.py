@@ -74,15 +74,43 @@ def shard_device_plan(plan: TilePlan, mesh: Mesh) -> DevicePlan:
         res_arow=put(_pad_leading(plan.res_arow, n, 0), sharded),
         res_col=put(_pad_leading(plan.res_col, n, 0), sharded),
         res_out=put(_pad_leading(plan.res_out, n, plan.nnz), sharded),
-        rphm_to_csr=put(np.zeros(0, np.int32), repl),
+        # replicated: consumed by single-device emit="csr" users of this
+        # dplan (e.g. a model forward); the shard_map body ignores it
+        rphm_to_csr=put(plan.rphm_to_csr, repl),
     )
+
+
+def shard_operands(A, Bt, mesh: Mesh, b_sharded: bool = False):
+    """Place the dense operands for :func:`make_sharded_sddmm_fn`: A is
+    replicated (every shard owns whole row panels of the mask and needs
+    its own A rows; replication is the row-shard-natural layout —
+    SURVEY.md section 2d); Bt is either replicated or row-sharded
+    (= column panels of B) for the all-gather path."""
+    import jax
+    repl = NamedSharding(mesh, P())
+    if b_sharded and Bt.shape[0] % mesh.devices.size:
+        raise ValueError(
+            f"b_sharded needs N ({Bt.shape[0]}) divisible by the mesh "
+            f"size ({mesh.devices.size}); pad B's columns first")
+    b_spec = NamedSharding(mesh, P(AXIS)) if b_sharded else repl
+    return (jax.device_put(jnp.asarray(A), repl),
+            jax.device_put(jnp.asarray(Bt), b_spec))
 
 
 def make_sharded_sddmm_fn(plan: TilePlan, config: SddmmConfig,
                           mesh: Mesh,
-                          backend: Optional[str] = None) -> Callable:
+                          backend: Optional[str] = None,
+                          b_sharded: bool = False) -> Callable:
     """Build ``fn(A, Bt, dplan) -> P`` running the hybrid SDDMM with tiles
-    and residual sharded over ``mesh`` and one psum to combine partials."""
+    and residual sharded over ``mesh`` and one psum to combine partials.
+
+    With ``b_sharded=True``, Bt arrives sharded over the mesh (each device
+    stores ``N/n`` column panels of B) and is all-gathered over ICI inside
+    the mapped body before compute — the memory-scalable layout for large
+    B (BASELINE.json north star: shard row panels, all-gather B column
+    panels). XLA overlaps the gather with the leading compute where
+    possible; a Pallas ``make_async_remote_copy`` ring that interleaves
+    per-panel compute with the transfer is the planned refinement."""
     n = mesh.devices.size
     # each device executes the body on a 1/n shard: build the body for the
     # shard-local shapes
@@ -108,13 +136,16 @@ def make_sharded_sddmm_fn(plan: TilePlan, config: SddmmConfig,
     nnz = plan.nnz
 
     def shard_body(A, Bt, dplan):
+        if b_sharded:
+            # (N/n, K) shard -> full (N, K): one all-gather over ICI
+            Bt = jax.lax.all_gather(Bt, AXIS, axis=0, tiled=True)
         partial = body(A, Bt, dplan)           # (nnz+1,) zeros off-shard
         total = jax.lax.psum(partial, AXIS)
         return total[:nnz]
 
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P(), P(),
+        in_specs=(P(), P(AXIS) if b_sharded else P(),
                   DevicePlan(row_perm_padded=P(),
                              tile_panel=P(AXIS), tile_src=P(AXIS),
                              tile_scatter=P(AXIS),
