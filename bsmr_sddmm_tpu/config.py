@@ -95,6 +95,14 @@ class SddmmConfig:
     # B-gather at the ~584M-descriptors/s rate + 16 KB output + MXU) vs
     # ~5.3 ns per per-nnz entry -> crossover ~96.
     residual_tile_min_nnz: int = 96
+    # B-gather windowing. Measured on v5e: row gathers from an operand
+    # >64 MB collapse ~4.5x (394 -> 87 M rows/s at 128 MB — address-range
+    # locality, index order does not matter). When B exceeds
+    # gather_window_mb, gathered tiles and residual entries are grouped by
+    # column window at pack time and each group gathers from a static
+    # gather_window_mb-sized slice of B. 0 disables.
+    gather_window_mb: int = 16
+    gather_window_threshold_mb: int = 64
 
     # --- execution --------------------------------------------------------
     # "auto"   : pallas on TPU, xla elsewhere.

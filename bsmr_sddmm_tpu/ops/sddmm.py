@@ -222,20 +222,42 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         conversion traffic they save).
         """
         g_chunk = max(8, min(dense_chunk, Tg))
+
+        def tiles_matmul(pc, cc, B_src):
+            n_t = pc.shape[0]
+            b = jnp.take(B_src, cc.reshape(-1), axis=0) \
+                .reshape(n_t, bw, k)
+            a = jnp.take(A_panels, pc, axis=0)       # (C, ph, K)
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                precision=precision,
+                preferred_element_type=jnp.float32)  # (C, ph, bw)
+
+        if plan.g_groups is not None and plan.num_gathered:
+            # windowed gathers: each static (base, start, end) group of
+            # window-pure tiles gathers from the static window slice
+            # Bt[base : base + window_rows] (the >64 MB gather cliff)
+            W = plan.window_rows
+            parts = []
+            for base, s0, e0 in plan.g_groups:
+                window = jax.lax.slice_in_dim(Bt, base, base + W)
+                for c0 in range(s0, e0, g_chunk):
+                    c1 = min(c0 + g_chunk, e0)
+                    pc = jax.lax.slice_in_dim(dplan.g_panel, c0, c1)
+                    cc = jax.lax.slice_in_dim(dplan.g_cols, c0, c1) - base
+                    parts.append(tiles_matmul(pc, cc, window))
+            tail = Tg - plan.num_gathered
+            if tail:
+                parts.append(jnp.zeros((tail, ph, bw), jnp.float32))
+            return jnp.concatenate(parts, axis=0)
+
         g_panel = _pad_to_multiple(dplan.g_panel, g_chunk)
         g_cols = _pad_to_multiple(dplan.g_cols, g_chunk)
         S = g_panel.shape[0] // g_chunk
 
         def g_step(_, chunk):
             pc, cc = chunk
-            b = jnp.take(Bt, cc.reshape(-1), axis=0) \
-                .reshape(g_chunk, bw, k)
-            a = jnp.take(A_panels, pc, axis=0)       # (C, ph, K)
-            out = jax.lax.dot_general(
-                a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                precision=precision,
-                preferred_element_type=jnp.float32)  # (C, ph, bw)
-            return None, out
+            return None, tiles_matmul(pc, cc, Bt)
 
         chunks = (g_panel.reshape(S, g_chunk),
                   g_cols.reshape(S, g_chunk, bw))
@@ -248,15 +270,34 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
 
     def res_vals_fn(A_perm, Bt, dplan):
         """Compute all residual values -> (E,)."""
+        def dots(arow_c, col_c, B_src):
+            a = jnp.take(A_perm, arow_c, axis=0)   # (C, K)
+            b = jnp.take(B_src, col_c, axis=0)     # (C, K)
+            return jnp.sum(a * b, axis=-1)         # fp32 on the VPU
+
+        if plan.res_groups is not None and plan.num_residual:
+            # windowed B gathers (see gathered_out_fn)
+            W = plan.window_rows
+            parts = []
+            for base, s0, e0 in plan.res_groups:
+                window = jax.lax.slice_in_dim(Bt, base, base + W)
+                for c0 in range(s0, e0, res_chunk):
+                    c1 = min(c0 + res_chunk, e0)
+                    ar = jax.lax.slice_in_dim(dplan.res_arow, c0, c1)
+                    rc = jax.lax.slice_in_dim(dplan.res_col, c0, c1) - base
+                    parts.append(dots(ar, rc, window))
+            tail = E - plan.num_residual
+            if tail:
+                parts.append(jnp.zeros(tail, jnp.float32))
+            return jnp.concatenate(parts)
+
         res_arow = _pad_to_multiple(dplan.res_arow, res_chunk)
         res_col = _pad_to_multiple(dplan.res_col, res_chunk)
         SR = res_arow.shape[0] // res_chunk
 
         def res_step(_, chunk):
             arow_c, col_c = chunk
-            a = jnp.take(A_perm, arow_c, axis=0)   # (C, K)
-            b = jnp.take(Bt, col_c, axis=0)        # (C, K)
-            return None, jnp.sum(a * b, axis=-1)   # fp32 on the VPU
+            return None, dots(arow_c, col_c, Bt)
 
         res_chunks = (res_arow.reshape(SR, res_chunk),
                       res_col.reshape(SR, res_chunk))

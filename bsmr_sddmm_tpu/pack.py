@@ -93,6 +93,14 @@ class TilePlan:
     mode: str = "bsr"
     tile_cblock: Optional[np.ndarray] = None   # (T,) int32, bsr mode only
 
+    # B-gather windowing (host metadata, see SddmmConfig.gather_window_mb):
+    # when set, real gathered tiles / residual entries are sorted by column
+    # window and each (base_row, start, end) group gathers from the static
+    # window slice Bt[base : base + window_rows]. None = unwindowed.
+    window_rows: Optional[int] = None
+    g_groups: Optional[list] = None    # [(base, tile_start, tile_end)]
+    res_groups: Optional[list] = None  # [(base, ent_start, ent_end)]
+
     # --- statistics (reference evaluationReordering, BSMR.cpp:826-930) ---
     @property
     def dense_nnz(self) -> int:
@@ -235,6 +243,16 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     g_scatter = np.zeros((0, ph, bw), np.int32)
     in_gathered = np.zeros(r_panel.shape[0], dtype=bool)
 
+    # B-gather windowing (the >64 MB gather cliff): decide the window size
+    # up front — gathered tiles must be *window-pure* (every column of a
+    # tile inside one window) so execution can gather from a static slice.
+    window_rows = None
+    if (config.gather_window_mb
+            and N * k * 4 > (config.gather_window_threshold_mb << 20)):
+        wr = max((config.gather_window_mb << 20) // (k * 4), bw)
+        if N > 2 * wr:
+            window_rows = wr
+
     if config.residual_mode == "gathered" and r_panel.shape[0]:
         # unique (panel, col) with counts
         rk = r_panel * sent + r_col
@@ -245,15 +263,22 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         uq_counts = np.diff(np.append(uq_pos, rk_sorted.shape[0]))
         uq_panel = uq_keys // sent
         uq_col = uq_keys % sent
-        # per panel: count desc, col asc on ties (deterministic)
-        srt = np.lexsort((uq_col, -uq_counts, uq_panel))
-        uq_panel, uq_col, uq_counts = \
-            uq_panel[srt], uq_col[srt], uq_counts[srt]
-        # chunk into bw-wide groups per panel
-        pstart = np.searchsorted(uq_panel, np.arange(num_panels + 1))
-        within = np.arange(uq_panel.shape[0]) - pstart[uq_panel]
-        chunk_of_col = within // bw          # per-panel chunk index
-        ckey = uq_panel * sent + chunk_of_col
+        # per (panel [, window]): count desc, col asc on ties
+        uq_wg = (uq_col // window_rows if window_rows
+                 else np.zeros_like(uq_col))
+        srt = np.lexsort((uq_col, -uq_counts, uq_wg, uq_panel))
+        uq_panel, uq_col, uq_counts, uq_wg = \
+            uq_panel[srt], uq_col[srt], uq_counts[srt], uq_wg[srt]
+        # chunk into bw-wide groups per (panel, window) segment
+        U = uq_panel.shape[0]
+        n_wg = (N // window_rows + 1) if window_rows else 1
+        gid = uq_panel * n_wg + uq_wg
+        seg_start_pos = np.nonzero(np.diff(gid, prepend=-1))[0]
+        seg_of_col = np.searchsorted(seg_start_pos, np.arange(U),
+                                     side="right") - 1
+        within = np.arange(U) - seg_start_pos[seg_of_col]
+        chunk_of_col = within // bw          # per-segment chunk index
+        ckey = seg_of_col.astype(np.int64) * np.int64(U + 1) + chunk_of_col
         cpos = np.nonzero(np.diff(ckey, prepend=-1))[0]
         chunk_nnz = np.add.reduceat(uq_counts, cpos) \
             if cpos.size else np.zeros(0, np.int64)
@@ -271,7 +296,7 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
             Tg = bucket_size(num_gathered0, config.bucket_shapes)
             g_panel = np.zeros(Tg, np.int32)
             g_panel[:num_gathered0] = uq_panel[cpos[kept_chunks]]
-            g_cols_full = np.full((Tg, bw), N - 1, np.int32)
+            g_cols_full = np.full((Tg, bw), -1, np.int32)
             g_scatter = np.full((Tg, ph, bw), nnz, dtype=np.int32)
             # local col slot within the chunk
             local_slot = (within % bw).astype(np.int64)
@@ -279,6 +304,12 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
             g_cols_full[tile_of_chunk[col_chunk[kept_cols]],
                         local_slot[kept_cols]] = \
                 np.minimum(uq_col[kept_cols], N - 1).astype(np.int32)
+            # pad slots point at the tile's first column (keeps tiles
+            # window-pure; their scatter slots are trash anyway)
+            firstcol = np.where(g_cols_full[:, 0] >= 0,
+                                g_cols_full[:, 0], 0)
+            g_cols_full = np.where(g_cols_full >= 0, g_cols_full,
+                                   firstcol[:, None]).astype(np.int32)
             g_cols = g_cols_full
             # route entries: entry key -> index into the (panel, -count)
             # sorted unique arrays, via an argsort of the unique keys
@@ -315,6 +346,42 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         res_arow[:num_residual0] = r_arow[tail]
         res_col[:num_residual0] = r_col[tail]
         res_out[:num_residual0] = r_csr[tail].astype(np.int32)
+
+    # --- B-gather windowing: group metadata ---------------------------------
+    # Sort real gathered tiles / residual entries by column window and
+    # record static (base, start, end) groups; execution gathers each
+    # group from the window slice Bt[base : base + window_rows].
+    g_groups = None
+    res_groups = None
+    if window_rows:
+        if True:
+            def group_bounds(first_cols, count):
+                """Sort [0, count) items by window group of their column;
+                return (order, [(base, start, end)])."""
+                grp = first_cols[:count] // window_rows
+                order = np.argsort(grp, kind="stable")
+                gsorted = grp[order]
+                starts = np.nonzero(np.diff(gsorted, prepend=-1))[0]
+                ends = np.append(starts[1:], count)
+                groups = [(int(min(g * window_rows, N - window_rows)),
+                           int(s), int(e))
+                          for g, s, e in zip(gsorted[starts], starts, ends)]
+                return order, groups
+
+            if num_gathered0:
+                order, g_groups = group_bounds(
+                    g_cols[:, 0].astype(np.int64), num_gathered0)
+                g_panel[:num_gathered0] = g_panel[:num_gathered0][order]
+                g_cols[:num_gathered0] = g_cols[:num_gathered0][order]
+                g_scatter[:num_gathered0] = g_scatter[:num_gathered0][order]
+            if num_residual0:
+                order, res_groups = group_bounds(
+                    res_col.astype(np.int64), num_residual0)
+                res_arow[:num_residual0] = res_arow[:num_residual0][order]
+                res_col[:num_residual0] = res_col[:num_residual0][order]
+                res_out[:num_residual0] = res_out[:num_residual0][order]
+        else:
+            window_rows = None
 
     # --- padded row permutation --------------------------------------------
     row_perm_padded = np.zeros(num_panels * ph, dtype=np.int32)
@@ -372,6 +439,7 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         row_perm_padded=row_perm_padded,
         rphm_to_csr=rphm_to_csr,
         mode=mode, tile_cblock=tile_cblock,
+        window_rows=window_rows, g_groups=g_groups, res_groups=res_groups,
     )
     plan.pack_time_ms = (_time.perf_counter() - t0) * 1e3
     return plan

@@ -130,6 +130,9 @@ def make_sharded_sddmm_fn(plan: TilePlan, config: SddmmConfig,
         "res_arow": shard0(plan.res_arow, 0),
         "res_col": shard0(plan.res_col, 0),
         "res_out": shard0(plan.res_out, plan.nnz),
+        # window-group metadata indexes *global* tile positions — invalid
+        # on a shard; shard-local execution runs unwindowed
+        "window_rows": None, "g_groups": None, "res_groups": None,
     })
     body = make_sddmm_body(local, config, backend,
                            emit="csr_scatter")

@@ -88,3 +88,47 @@ def test_alpha_delta_cache(tiny_mask):
     r1 = pipe._row_cache[(0.3, cfg.row_strategy)]
     pipe.reorder(alpha=0.3, delta=0.9)
     assert pipe._row_cache[(0.3, cfg.row_strategy)] is r1
+
+
+def test_windowed_gather_matches_oracle():
+    """Force B-gather windowing (small window/threshold on a wide mask)
+    and check the result is identical to the unwindowed path and the
+    oracle — the >64MB gather-cliff optimization must be a pure
+    refactor."""
+    import dataclasses
+    import jax.numpy as jnp
+    from bsmr_sddmm_tpu.ops.sddmm import device_plan, make_sddmm_fn
+    from bsmr_sddmm_tpu.pack import pack_tiles
+    from bsmr_sddmm_tpu.reorder import bsmr
+
+    csr = random_mask(rows=1024, cols=40960, nnz=80000, seed=31,
+                      block_rows=16, block_cols=64)
+    # cols*k*4 = 5 MB > 2 MB threshold; window = 1 MB = 8192 rows
+    cfg = SddmmConfig(k=32, panel_height=16, dense_chunk=16,
+                      residual_chunk=2048, delta=0.9,
+                      gather_window_mb=1, gather_window_threshold_mb=2)
+    reord = bsmr(csr, cfg)
+    plan = pack_tiles(csr, reord, cfg)
+    assert plan.window_rows == 8192
+    assert plan.g_groups or plan.res_groups
+    if plan.g_groups:
+        # window purity: every tile's columns inside its group window
+        for base, s0, e0 in plan.g_groups:
+            cols = plan.g_cols[s0:e0]
+            assert cols.min() >= base
+            assert cols.max() < base + plan.window_rows
+    A, B = make_ab(csr, cfg.k)
+    Bt = np.ascontiguousarray(B.T)
+    fn = make_sddmm_fn(plan, cfg)
+    out = np.asarray(fn(jnp.asarray(A), jnp.asarray(Bt),
+                        device_plan(plan)))
+    expected = sddmm_ref(A, B, csr)
+    assert check_data(expected, out).passed
+    # unwindowed plan computes the same values
+    cfg0 = dataclasses.replace(cfg, gather_window_mb=0)
+    plan0 = pack_tiles(csr, bsmr(csr, cfg0), cfg0)
+    assert plan0.window_rows is None
+    fn0 = make_sddmm_fn(plan0, cfg0)
+    out0 = np.asarray(fn0(jnp.asarray(A), jnp.asarray(Bt),
+                          device_plan(plan0)))
+    np.testing.assert_allclose(out, out0, rtol=1e-5)
