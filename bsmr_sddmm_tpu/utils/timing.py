@@ -8,21 +8,23 @@ On this TPU platform two runtime behaviors make naive wall timing lie:
 1. ``jax.block_until_ready`` returns before device execution finishes
    (verified: a 1.1-TFLOP matmul "blocks" in 0.1 ms). Completion can only
    be forced by a device-to-host readback of (a tiny slice of) the result.
-2. Re-submitting the same (executable, argument buffers) pair can be
-   deduplicated by the runtime, so every timed call must use a distinct
-   input buffer.
+2. The readback round trip is ~26 ms and jitters by a few ms, so a naive
+   per-call wall time is all noise for sub-ms kernels.
 
-``time_jitted`` therefore times two batches of distinct-input calls at
-different iteration counts, forces each with a 4-byte readback, and reports
-the *slope* — which cancels the fixed tunnel round-trip (~28 ms here) and
-any constant dispatch overhead. Device execution is in-order, so forcing
-the last result forces the whole batch.
+``time_jitted`` therefore times two batches of calls at different
+iteration counts and reports the *slope* — which cancels the fixed round
+trip and any constant dispatch overhead — rescaling the batch until the
+measured work dwarfs the jitter. Device execution is in-order, so forcing
+the last result forces the whole batch. Inputs cycle through a small pool
+of perturbed variants (paranoia against result caching; repeated
+identical submissions measured the same as distinct ones, so the pool is
+belt-and-braces, not load-bearing).
 """
 
 from __future__ import annotations
 
 import time
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,12 +38,9 @@ _EPS = {jnp.dtype(jnp.float64): 1e-12, jnp.dtype(jnp.float32): 1e-6,
 def _perturbed(args, i: int):
     """Distinct per-iteration input buffers whose *contents* differ.
 
-    The runtime (observed on the axon TPU relay) deduplicates repeated
-    submissions whose executable and input contents match, timing them as
-    ~0; a same-buffer or numerically-absorbed perturbation (x + 1e-30 in
-    fp32) does NOT defeat it. So scale every floating leaf by
-    (1 + i * ulp-ish): content changes, results stay within validation
-    tolerance (rel error <= iterations * eps << 1e-3 for fp32)."""
+    Every floating leaf scales by (1 + i * ulp-ish): content changes but
+    results stay within validation tolerance (rel error <=
+    iterations * eps << 1e-3 for fp32)."""
     def leaf(x):
         if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype,
                                                        jnp.floating):
@@ -58,31 +57,81 @@ def force(result) -> None:
     np.asarray(jax.device_get(jnp.ravel(leaf)[0:1]))
 
 
+_RTT_S: Optional[float] = None
+
+
+def _rtt() -> float:
+    """Measured cost of one forced trivial call (submission + readback
+    round trip): the noise scale the slope must dwarf. ~26 ms through the
+    TPU tunnel, ~0.1 ms on local CPU."""
+    global _RTT_S
+    if _RTT_S is None:
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros((8, 128), jnp.float32)
+        force(f(x))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(f(x))
+            ts.append(time.perf_counter() - t0)
+        _RTT_S = max(min(ts), 1e-4)
+    return _RTT_S
+
+
 def time_jitted(fn: Callable, *args, iterations: int = 10,
                 warmup: int = 2) -> Tuple[float, object]:
-    """Return (mean milliseconds per call, a representative result)."""
+    """Return (mean milliseconds per call, a representative result).
+
+    The readback round trip is noisy (+-ms), so the per-call time is the
+    *slope* between two batch sizes; when the measured batch is not much
+    bigger than the jitter, the batch is rescaled so signal dominates.
+    Input variants come from a small cycled pool (distinct buffers, ulp
+    perturbation) and call counts are capped by output size so deep
+    submission queues cannot exhaust device memory."""
     if not args:
         raise ValueError("time_jitted needs at least one argument")
     warmup = max(warmup, 1)
-    n_lo = max(1, iterations // 2)
-    n_hi = n_lo + iterations
-    total = warmup + n_lo + n_hi
-    variants = [_perturbed(args, i) for i in range(total)]
-    # materialize all inputs before timing
-    force(variants[-1])
 
     result = None
     for i in range(warmup):
-        result = fn(*variants[i])
+        result = fn(*_perturbed(args, i))
     force(result)
 
-    def batch(lo: int, n: int) -> float:
+    def nbytes(tree):
+        return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree)
+                   if hasattr(x, "size"))
+
+    out_bytes = max(nbytes(result), 1)
+    in_bytes = max(nbytes(args), 1)
+    # queue depth cap: outputs of enqueued calls reserve device memory
+    n_cap = int(max(8, min(256, (2 << 30) // out_bytes)))
+    pool_n = int(max(4, min(16, (1 << 30) // in_bytes)))
+    pool = [_perturbed(args, warmup + i) for i in range(pool_n)]
+    force(pool[-1])
+
+    def batch(n: int) -> float:
         t0 = time.perf_counter()
-        rs = [fn(*variants[lo + i]) for i in range(n)]
-        force(rs[-1])
+        r = None
+        for i in range(n):
+            r = fn(*pool[i % pool_n])
+        force(r)
         return time.perf_counter() - t0
 
-    t_lo = batch(warmup, n_lo)
-    t_hi = batch(warmup + n_lo, n_hi)
-    ms = (t_hi - t_lo) / (n_hi - n_lo) * 1e3
+    def slope(n_iters: int):
+        n_lo = max(1, n_iters // 2)
+        n_hi = n_lo + n_iters
+        t_lo = batch(n_lo)
+        t_hi = batch(n_hi)
+        ms = (t_hi - t_lo) / (n_hi - n_lo) * 1e3
+        upper_ms = t_hi / n_hi * 1e3  # includes RTT/n
+        return ms, upper_ms, t_hi
+
+    ms, upper, t_hi = slope(min(iterations, n_cap))
+    # rescale so the measured batch dwarfs round-trip jitter
+    if t_hi < 2.5 * _rtt():
+        est_s = max(ms, 0.05 * upper, 1e-3) / 1e3
+        n = int(min(max(iterations, 3.0 * _rtt() / est_s), n_cap))
+        ms, upper, t_hi = slope(n)
+    if ms <= 0.05 * upper:  # still degenerate: report the safe upper bound
+        ms = upper
     return max(ms, 1e-6), result

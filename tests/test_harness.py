@@ -187,3 +187,38 @@ def test_runner_end_to_end(tmp_path):
     a = analyze_logs([str(logdir / f) for f in logfiles], k=32)
     assert a.accuracy.get("bsmr", 0) == 1.0
     assert a.accuracy.get("gather_dot", 0) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Aux subsystems: profiling hooks, distributed helpers
+# ---------------------------------------------------------------------------
+
+def test_phase_timer_accumulates():
+    from bsmr_sddmm_tpu.utils.profiling import phase_timer
+    sink = {}
+    with phase_timer(sink, "reorder"):
+        pass
+    with phase_timer(sink, "reorder"):
+        pass
+    assert sink["reorder"] >= 0.0
+
+
+def test_distributed_initialize_noop_single_process():
+    from bsmr_sddmm_tpu.parallel import distributed
+    distributed.initialize()  # must not raise in single-process mode
+
+
+def test_weak_scaling_shape():
+    import jax
+    import jax.numpy as jnp
+    from bsmr_sddmm_tpu.parallel import distributed
+
+    def plan_fn(n):
+        x = jnp.ones((n * 64, 64), jnp.float32)
+        f = jax.jit(lambda a: a * 2.0)
+        return f, (x,), n * 1000
+
+    res = distributed.weak_scaling(plan_fn, [1, 2], iterations=2)
+    assert set(res) == {1, 2}
+    assert res[1]["efficiency"] == 1.0
+    assert res[2]["nnz_per_s"] > 0
