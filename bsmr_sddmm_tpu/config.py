@@ -104,6 +104,13 @@ class SddmmConfig:
     gather_window_mb: int = 16
     gather_window_threshold_mb: int = 64
 
+    # Max dense tiles fused per grid step in bsr mode ("fat steps"): G
+    # same-column-block tiles share one B DMA and one (G*ph, bw) MXU
+    # matmul, amortizing the ~100 ns/step pipeline overhead. The packer
+    # picks G = min(this, pow2(median same-cblock run)) so padding stays
+    # small on matrices with few tiles per block. 1 disables.
+    dense_fat_group: int = 8
+
     # --- execution --------------------------------------------------------
     # "auto"   : pallas on TPU, xla elsewhere.
     # "xla"    : gather + batched-matmul + scatter, pure XLA.

@@ -64,7 +64,12 @@ class DevicePlan(NamedTuple):
 
 
 def device_plan(plan: TilePlan) -> DevicePlan:
-    tile_src = plan.tile_cblock if plan.mode == "bsr" else plan.tile_cols
+    if plan.mode != "bsr":
+        tile_src = plan.tile_cols
+    elif plan.fat_group > 1:
+        tile_src = plan.step_cblock       # one cblock per fat step
+    else:
+        tile_src = plan.tile_cblock
     return DevicePlan(
         row_perm_padded=jnp.asarray(plan.row_perm_padded),
         tile_panel=jnp.asarray(plan.tile_panel),
@@ -129,8 +134,15 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
 
     interpret = jax.default_backend() == "cpu"  # no Mosaic on CPU
     mode = plan.mode
+    G = plan.fat_group
     if backend == "pallas":
-        if mode == "bsr":
+        if mode == "bsr" and G > 1:
+            from bsmr_sddmm_tpu.ops.pallas_dense import make_bsr_fat_kernel
+            dense_kernel = make_bsr_fat_kernel(
+                num_panels=num_panels, ph=ph, bw=bw, k=k, n_cols=plan.cols,
+                fat_group=G, precision=config.matmul_precision,
+                interpret=interpret)
+        elif mode == "bsr":
             from bsmr_sddmm_tpu.ops.pallas_dense import make_bsr_dense_kernel
             dense_kernel = make_bsr_dense_kernel(
                 num_panels=num_panels, ph=ph, bw=bw, k=k, n_cols=plan.cols,
@@ -150,7 +162,7 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         """Compute all dense tiles -> (T, ph, bw)."""
         if backend == "pallas" and mode == "bsr":
             # the Pallas grid is the loop; chunk only to bound live memory
-            pchunk = max(dense_chunk, 4096)
+            pchunk = -(-max(dense_chunk, 4096) // G) * G
             if T <= pchunk:
                 return dense_kernel(A_panels, Bt, dplan.tile_panel,
                                     dplan.tile_src)
@@ -160,8 +172,40 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
                 parts.append(dense_kernel(
                     A_panels, Bt, jax.lax.slice_in_dim(
                         dplan.tile_panel, s, e),
-                    jax.lax.slice_in_dim(dplan.tile_src, s, e)))
+                    jax.lax.slice_in_dim(dplan.tile_src, s // G, e // G)))
             return jnp.concatenate(parts, axis=0)
+
+        if mode == "bsr" and G > 1:
+            # XLA fat path: chunk over steps; one B-block gather + one
+            # (C, G*ph, bw) batched matmul per chunk
+            n_steps = T // G
+            step_chunk = max(8, min(dense_chunk, n_steps))
+            step_cb = _pad_to_multiple(dplan.tile_src, step_chunk)
+            tp = _pad_to_multiple(dplan.tile_panel, step_chunk * G)
+            S = step_cb.shape[0] // step_chunk
+            npad2 = n_cblocks * bw - plan.cols
+            Bt_pad2 = jnp.pad(Bt, ((0, npad2), (0, 0))) if npad2 else Bt
+            B_blocks2 = Bt_pad2.reshape(n_cblocks, bw, k)
+
+            def fat_step(_, chunk):
+                cb_c, tp_c = chunk
+                b = jnp.take(B_blocks2, cb_c, axis=0)       # (C, bw, K)
+                a = jnp.take(A_panels, tp_c, axis=0) \
+                    .reshape(step_chunk, G * ph, k)
+                out = jax.lax.dot_general(
+                    a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    precision=precision,
+                    preferred_element_type=jnp.float32)  # (C, G*ph, bw)
+                return None, out
+
+            chunks = (step_cb.reshape(S, step_chunk),
+                      tp.reshape(S, step_chunk * G))
+            if S == 1:
+                out = fat_step(None, jax.tree.map(lambda x: x[0],
+                                                  chunks))[1]
+            else:
+                _, out = jax.lax.scan(fat_step, None, chunks)
+            return out.reshape(-1, ph, bw)[:T]
 
         tile_panel = _pad_to_multiple(dplan.tile_panel, dense_chunk)
         tile_src = _pad_to_multiple(dplan.tile_src, dense_chunk)

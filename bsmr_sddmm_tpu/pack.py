@@ -92,6 +92,10 @@ class TilePlan:
     # B reads contiguous); "reorder" tiles gather tile_cols per tile
     mode: str = "bsr"
     tile_cblock: Optional[np.ndarray] = None   # (T,) int32, bsr mode only
+    # fat steps (bsr mode): G same-cblock tiles per grid step; tile arrays
+    # stay flat (T = n_steps * G) and step_cblock holds one cblock per step
+    fat_group: int = 1
+    step_cblock: Optional[np.ndarray] = None   # (T // fat_group,) int32
 
     # B-gather windowing (host metadata, see SddmmConfig.gather_window_mb):
     # when set, real gathered tiles / residual entries are sorted by column
@@ -397,6 +401,8 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     # the dense path.
     mode = config.col_mode
     tile_cblock = None
+    fat_group = 1
+    step_cblock = None
     if mode == "bsr":
         tile_cblock = (tile_cols[:, 0] // bw).astype(np.int32)
         if num_tiles0 > 1:
@@ -406,6 +412,42 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
             tile_cols[:num_tiles0] = tile_cols[:num_tiles0][order]
             tile_cblock[:num_tiles0] = tile_cblock[:num_tiles0][order]
             tile_scatter[:num_tiles0] = tile_scatter[:num_tiles0][order]
+
+    # fat steps: fuse G same-cblock tiles per grid step (one B DMA, one
+    # (G*ph, bw) MXU matmul) to amortize the ~100 ns/step pipeline
+    # overhead. Each same-cblock run pads to a G multiple; G adapts to the
+    # median run so padding stays small.
+    if mode == "bsr" and config.dense_fat_group > 1 and num_tiles0:
+        cb = tile_cblock[:num_tiles0]
+        run_starts = np.nonzero(np.diff(cb, prepend=-1))[0]
+        run_lens = np.diff(np.append(run_starts, num_tiles0))
+        med = int(np.median(run_lens))
+        G = 1
+        while G * 2 <= config.dense_fat_group and G * 2 <= med:
+            G *= 2
+        if G > 1:
+            padded_lens = -(-run_lens // G) * G
+            T_flat0 = int(padded_lens.sum())
+            n_steps = bucket_size(T_flat0 // G, config.bucket_shapes)
+            T_flat = n_steps * G
+            run_dst = np.zeros(run_starts.shape[0], np.int64)
+            np.cumsum(padded_lens[:-1], out=run_dst[1:])
+            dst = _concat_ranges(run_dst, run_lens)
+            new_cb = np.zeros(T_flat, np.int32)
+            new_cb[:T_flat0] = np.repeat(cb[run_starts], padded_lens)
+            new_tp = np.zeros(T_flat, np.int32)
+            new_tp[dst] = tile_panel[:num_tiles0]
+            # pad tiles read their run's (or block 0's) columns; their
+            # scatter slots are trash so the values never land
+            new_tc = np.minimum(new_cb[:, None].astype(np.int64) * bw
+                                + np.arange(bw), N - 1).astype(np.int32)
+            new_tc[dst] = tile_cols[:num_tiles0]
+            new_ts = np.full((T_flat, ph, bw), nnz, np.int32)
+            new_ts[dst] = tile_scatter[:num_tiles0]
+            tile_panel, tile_cols = new_tp, new_tc
+            tile_cblock, tile_scatter = new_cb, new_ts
+            step_cblock = new_cb.reshape(n_steps, G)[:, 0].copy()
+            fat_group = G
 
     # --- inverse scatter map (rphm layout -> CSR order) --------------------
     T_pad = tile_scatter.shape[0]
@@ -439,6 +481,7 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         row_perm_padded=row_perm_padded,
         rphm_to_csr=rphm_to_csr,
         mode=mode, tile_cblock=tile_cblock,
+        fat_group=fat_group, step_cblock=step_cblock,
         window_rows=window_rows, g_groups=g_groups, res_groups=res_groups,
     )
     plan.pack_time_ms = (_time.perf_counter() - t0) * 1e3
