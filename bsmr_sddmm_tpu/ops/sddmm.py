@@ -320,16 +320,27 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
             return jnp.sum(a * b, axis=-1)         # fp32 on the VPU
 
         if plan.res_groups is not None and plan.num_residual:
-            # windowed B gathers (see gathered_out_fn)
-            W = plan.window_rows
+            # windowed gathers on either/both operands (gather cliff)
+            Wb = plan.window_rows
+            Wa = plan.a_window_rows
             parts = []
-            for base, s0, e0 in plan.res_groups:
-                window = jax.lax.slice_in_dim(Bt, base, base + W)
+            for a_base, b_base, s0, e0 in plan.res_groups:
+                B_src = (jax.lax.slice_in_dim(Bt, b_base, b_base + Wb)
+                         if b_base >= 0 else Bt)
+                A_src = (jax.lax.slice_in_dim(A_perm, a_base,
+                                              a_base + Wa)
+                         if a_base >= 0 else A_perm)
                 for c0 in range(s0, e0, res_chunk):
                     c1 = min(c0 + res_chunk, e0)
                     ar = jax.lax.slice_in_dim(dplan.res_arow, c0, c1)
-                    rc = jax.lax.slice_in_dim(dplan.res_col, c0, c1) - base
-                    parts.append(dots(ar, rc, window))
+                    rc = jax.lax.slice_in_dim(dplan.res_col, c0, c1)
+                    if a_base >= 0:
+                        ar = ar - a_base
+                    if b_base >= 0:
+                        rc = rc - b_base
+                    a = jnp.take(A_src, ar, axis=0)
+                    b = jnp.take(B_src, rc, axis=0)
+                    parts.append(jnp.sum(a * b, axis=-1))
             tail = E - plan.num_residual
             if tail:
                 parts.append(jnp.zeros(tail, jnp.float32))

@@ -101,9 +101,11 @@ class TilePlan:
     # when set, real gathered tiles / residual entries are sorted by column
     # window and each (base_row, start, end) group gathers from the static
     # window slice Bt[base : base + window_rows]. None = unwindowed.
-    window_rows: Optional[int] = None
-    g_groups: Optional[list] = None    # [(base, tile_start, tile_end)]
-    res_groups: Optional[list] = None  # [(base, ent_start, ent_end)]
+    window_rows: Optional[int] = None      # B-side window (rows of Bt)
+    a_window_rows: Optional[int] = None    # A-side window (rows of A_perm)
+    g_groups: Optional[list] = None    # [(b_base, tile_start, tile_end)]
+    res_groups: Optional[list] = None  # [(a_base, b_base, start, end)],
+    #                                     base -1 = that side unwindowed
 
     # --- statistics (reference evaluationReordering, BSMR.cpp:826-930) ---
     @property
@@ -351,41 +353,59 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         res_col[:num_residual0] = r_col[tail]
         res_out[:num_residual0] = r_csr[tail].astype(np.int32)
 
-    # --- B-gather windowing: group metadata ---------------------------------
-    # Sort real gathered tiles / residual entries by column window and
-    # record static (base, start, end) groups; execution gathers each
-    # group from the window slice Bt[base : base + window_rows].
+    # --- gather windowing: group metadata ------------------------------------
+    # Sort real gathered tiles by column window and record static
+    # (base, start, end) groups; execution gathers each group from the
+    # window slice Bt[base : base + window_rows]. The per-nnz tail windows
+    # BOTH operands when big: entries sort by (A-window, B-window) pair and
+    # res_groups carries (a_base, b_base, start, end) with base -1 meaning
+    # "that side unwindowed".
     g_groups = None
     res_groups = None
-    if window_rows:
-        if True:
-            def group_bounds(first_cols, count):
-                """Sort [0, count) items by window group of their column;
-                return (order, [(base, start, end)])."""
-                grp = first_cols[:count] // window_rows
-                order = np.argsort(grp, kind="stable")
-                gsorted = grp[order]
-                starts = np.nonzero(np.diff(gsorted, prepend=-1))[0]
-                ends = np.append(starts[1:], count)
-                groups = [(int(min(g * window_rows, N - window_rows)),
-                           int(s), int(e))
-                          for g, s, e in zip(gsorted[starts], starts, ends)]
-                return order, groups
+    a_rows = num_panels * ph
+    a_window_rows = None
+    if (config.gather_window_mb
+            and a_rows * k * 4 > (config.gather_window_threshold_mb << 20)):
+        awr = max((config.gather_window_mb << 20) // (k * 4), ph)
+        if a_rows > 2 * awr:
+            a_window_rows = awr
 
-            if num_gathered0:
-                order, g_groups = group_bounds(
-                    g_cols[:, 0].astype(np.int64), num_gathered0)
-                g_panel[:num_gathered0] = g_panel[:num_gathered0][order]
-                g_cols[:num_gathered0] = g_cols[:num_gathered0][order]
-                g_scatter[:num_gathered0] = g_scatter[:num_gathered0][order]
-            if num_residual0:
-                order, res_groups = group_bounds(
-                    res_col.astype(np.int64), num_residual0)
-                res_arow[:num_residual0] = res_arow[:num_residual0][order]
-                res_col[:num_residual0] = res_col[:num_residual0][order]
-                res_out[:num_residual0] = res_out[:num_residual0][order]
-        else:
-            window_rows = None
+    if window_rows and num_gathered0:
+        grp = g_cols[:num_gathered0, 0].astype(np.int64) // window_rows
+        order = np.argsort(grp, kind="stable")
+        gsorted = grp[order]
+        starts = np.nonzero(np.diff(gsorted, prepend=-1))[0]
+        ends = np.append(starts[1:], num_gathered0)
+        g_groups = [(int(min(g * window_rows, N - window_rows)),
+                     int(s), int(e))
+                    for g, s, e in zip(gsorted[starts], starts, ends)]
+        g_panel[:num_gathered0] = g_panel[:num_gathered0][order]
+        g_cols[:num_gathered0] = g_cols[:num_gathered0][order]
+        g_scatter[:num_gathered0] = g_scatter[:num_gathered0][order]
+
+    if (window_rows or a_window_rows) and num_residual0:
+        a_grp = (res_arow[:num_residual0].astype(np.int64) // a_window_rows
+                 if a_window_rows else
+                 np.zeros(num_residual0, np.int64))
+        b_grp = (res_col[:num_residual0].astype(np.int64) // window_rows
+                 if window_rows else np.zeros(num_residual0, np.int64))
+        nbg = int(b_grp.max()) + 1 if num_residual0 else 1
+        key = a_grp * nbg + b_grp
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.nonzero(np.diff(ks, prepend=-1))[0]
+        ends = np.append(starts[1:], num_residual0)
+        res_groups = []
+        for kk, s, e in zip(ks[starts], starts, ends):
+            ag, bg = int(kk) // nbg, int(kk) % nbg
+            a_base = (int(min(ag * a_window_rows, a_rows - a_window_rows))
+                      if a_window_rows else -1)
+            b_base = (int(min(bg * window_rows, N - window_rows))
+                      if window_rows else -1)
+            res_groups.append((a_base, b_base, int(s), int(e)))
+        res_arow[:num_residual0] = res_arow[:num_residual0][order]
+        res_col[:num_residual0] = res_col[:num_residual0][order]
+        res_out[:num_residual0] = res_out[:num_residual0][order]
 
     # --- padded row permutation --------------------------------------------
     row_perm_padded = np.zeros(num_panels * ph, dtype=np.int32)
@@ -482,7 +502,8 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         rphm_to_csr=rphm_to_csr,
         mode=mode, tile_cblock=tile_cblock,
         fat_group=fat_group, step_cblock=step_cblock,
-        window_rows=window_rows, g_groups=g_groups, res_groups=res_groups,
+        window_rows=window_rows, a_window_rows=a_window_rows,
+        g_groups=g_groups, res_groups=res_groups,
     )
     plan.pack_time_ms = (_time.perf_counter() - t0) * 1e3
     return plan

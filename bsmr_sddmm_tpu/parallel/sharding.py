@@ -132,7 +132,11 @@ def make_sharded_sddmm_fn(plan: TilePlan, config: SddmmConfig,
         "res_out": shard0(plan.res_out, plan.nnz),
         # window-group metadata indexes *global* tile positions — invalid
         # on a shard; shard-local execution runs unwindowed
-        "window_rows": None, "g_groups": None, "res_groups": None,
+        "window_rows": None, "a_window_rows": None,
+        "g_groups": None, "res_groups": None,
+        # shard slicing does not respect fat-group boundaries; shards run
+        # the 1-tile/step layout off the per-tile tile_cblock
+        "fat_group": 1, "step_cblock": None,
     })
     body = make_sddmm_body(local, config, backend,
                            emit="csr_scatter")
