@@ -6,16 +6,26 @@
 // host-side, and this module is its production implementation — the
 // NumPy/SciPy version in reorder.py is the readable fallback/spec).
 //
-// Inputs are the L2-normalized row encodings in CSR form, rows already
-// sorted ascending by dispersion. Similarity is the normalized weighted
-// Jaccard (rowReordering.cu:235-293):
+// Inputs are the row encodings in CSR form, rows already sorted ascending
+// by dispersion. Similarity is the normalized weighted Jaccard
+// (rowReordering.cu:235-293):
 //
 //     sim(a, b) = sum_k min(a_hat_k, b_hat_k) / sum_k max(a_hat_k, b_hat_k)
 //     sum(max) = ||a_hat||_1 + ||b_hat||_1 - sum(min)
 //
+// Two prunings make this subquadratic in practice without changing a
+// single decision:
+//   * inverted index over encoding blocks — rows sharing no block with
+//     the representative have sim == 0 and are never touched (the killer
+//     optimization for power-law matrices where most rows end up
+//     singleton clusters);
+//   * l1-ratio upper bound — sim <= min(l1a,l1b)/max(l1a,l1b), so rows
+//     outside the alpha band skip the dot product.
+//
 // Exposed with a plain C ABI; loaded from Python via ctypes (no pybind11
 // in this environment).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -27,17 +37,44 @@
 
 namespace {
 
-// sum_k min(acc[k], row_hat[k]) over the row's support only (min against
-// an implicit zero is zero for nonnegative encodings).
-inline double sum_min(const double* acc, const int32_t* idx,
-                      const double* val, int64_t n) {
-    double s = 0.0;
-    for (int64_t i = 0; i < n; ++i) {
-        double a = acc[idx[i]];
-        double b = val[i];
-        s += a < b ? a : b;
+struct InvertedIndex {
+    // rows listed per encoding block, over ALL rows (static; assigned
+    // rows are skipped at query time)
+    std::vector<int64_t> ptr;   // (nblocks+1)
+    std::vector<int64_t> rows;  // (total entries)
+
+    InvertedIndex(int64_t R, const int64_t* indptr, const int32_t* indices,
+                  int64_t nblocks) {
+        ptr.assign(nblocks + 1, 0);
+        const int64_t total = indptr[R];
+        for (int64_t i = 0; i < total; ++i) ptr[indices[i] + 1]++;
+        for (int64_t b = 0; b < nblocks; ++b) ptr[b + 1] += ptr[b];
+        rows.assign(total, 0);
+        std::vector<int64_t> cursor(ptr.begin(), ptr.end() - 1);
+        for (int64_t r = 0; r < R; ++r)
+            for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i)
+                rows[cursor[indices[i]]++] = r;
     }
-    return s;
+};
+
+// candidates: unassigned rows > rep sharing >= 1 block with `blocks`,
+// appended UNSORTED (deduped via the stamp marker) — the fast strategy's
+// hit test is order-independent, and sorting hub-block candidate lists
+// costs more than testing them
+void collect_candidates(const InvertedIndex& idx, const int32_t* blocks,
+                        int64_t n_blocks,
+                        const std::vector<uint8_t>& assigned,
+                        std::vector<int64_t>& stamp, int64_t marker,
+                        int64_t rep, std::vector<int64_t>& out) {
+    for (int64_t i = 0; i < n_blocks; ++i) {
+        const int64_t b = blocks[i];
+        for (int64_t p = idx.ptr[b]; p < idx.ptr[b + 1]; ++p) {
+            const int64_t r = idx.rows[p];
+            if (r <= rep || assigned[r] || stamp[r] == marker) continue;
+            stamp[r] = marker;
+            out.push_back(r);
+        }
+    }
 }
 
 }  // namespace
@@ -61,45 +98,77 @@ int64_t bsmr_cluster_fast(int64_t R, const int64_t* indptr,
                           const int32_t* indices, const double* data_hat,
                           const double* l1_hat, int64_t nblocks,
                           double alpha, int64_t* cluster_out) {
-    std::vector<int64_t> active(R);
-    for (int64_t i = 0; i < R; ++i) active[i] = i;
+    InvertedIndex idx(R, indptr, indices, nblocks);
+    std::vector<uint8_t> assigned(R, 0);
+    std::vector<int64_t> stamp(R, -1);
     std::vector<double> acc(nblocks, 0.0);
-    std::vector<int64_t> next;
-    next.reserve(R);
-    std::vector<uint8_t> hit(R, 0);
+    std::vector<int64_t> cand;
+    std::vector<int64_t> blk_order;
+    std::vector<int32_t> scan_blocks;
+    std::vector<uint8_t> hit;
     int64_t cid = 0;
-    while (!active.empty()) {
-        int64_t rep = active[0];
+    int64_t next = 0;
+    while (next < R) {
+        while (next < R && assigned[next]) ++next;
+        if (next >= R) break;
+        const int64_t rep = next;
+        assigned[rep] = 1;
         cluster_out[rep] = cid;
         const int64_t rb = indptr[rep], re = indptr[rep + 1];
-        for (int64_t i = rb; i < re; ++i)
-            acc[indices[i]] = data_hat[i];
+        for (int64_t i = rb; i < re; ++i) acc[indices[i]] = data_hat[i];
         const double acc_l1 = l1_hat[rep];
-        const int64_t n_act = static_cast<int64_t>(active.size());
-#pragma omp parallel for schedule(dynamic, 256)
-        for (int64_t j = 1; j < n_act; ++j) {
-            const int64_t r = active[j];
-            // upper bound: smin <= min(l1a, l1r), smax >= max(l1a, l1r),
-            // so sim <= min/max — skip the scan when it cannot pass
+        // hub pruning: scan the rep's blocks heaviest-first and stop once
+        // the remaining mass S cannot reach alpha for ANY row whose whole
+        // shared support lies in the skipped suffix:
+        //   smin <= S,  smax = l1a + l1r - smin >= l1a + 1 - S
+        //   (l1_hat = l1/l2 >= 1 for every nonzero row)
+        // so sim <= S / (l1a + 1 - S) <= alpha => skipping is exact.
+        // This kills the H^2 candidate blowup of hub blocks in power-law
+        // matrices: a hub carrying little of the rep's mass is never
+        // walked.
+        blk_order.clear();
+        for (int64_t i = rb; i < re; ++i) blk_order.push_back(i);
+        std::sort(blk_order.begin(), blk_order.end(),
+                  [&](int64_t x, int64_t y) {
+                      return data_hat[x] > data_hat[y];
+                  });
+        scan_blocks.clear();
+        double suffix = acc_l1;
+        for (const int64_t i : blk_order) {
+            if (suffix <= alpha * (acc_l1 + 1.0 - suffix)) break;
+            scan_blocks.push_back(indices[i]);
+            suffix -= data_hat[i];
+        }
+        cand.clear();
+        collect_candidates(idx, scan_blocks.data(),
+                           static_cast<int64_t>(scan_blocks.size()),
+                           assigned, stamp, rep, rep, cand);
+        const int64_t n_c = static_cast<int64_t>(cand.size());
+        hit.assign(n_c, 0);
+#pragma omp parallel for schedule(dynamic, 256) if (n_c > 512)
+        for (int64_t j = 0; j < n_c; ++j) {
+            const int64_t r = cand[j];
+            // sim <= min(l1a, l1r) / max(l1a, l1r): skip outside the band
             const double lo = acc_l1 < l1_hat[r] ? acc_l1 : l1_hat[r];
             const double hi = acc_l1 < l1_hat[r] ? l1_hat[r] : acc_l1;
-            if (hi <= 0.0 || lo / hi <= alpha) { hit[j] = 0; continue; }
+            if (hi <= 0.0 || lo / hi <= alpha) continue;
             const int64_t b = indptr[r], e = indptr[r + 1];
-            double smin = sum_min(acc.data(), indices + b, data_hat + b,
-                                  e - b);
-            double smax = acc_l1 + l1_hat[r] - smin;
+            double smin = 0.0;
+            for (int64_t i = b; i < e; ++i) {
+                const double a = acc[indices[i]];
+                const double v = data_hat[i];
+                smin += a < v ? a : v;
+            }
+            const double smax = acc_l1 + l1_hat[r] - smin;
             hit[j] = (smax > 0.0 && smin / smax > alpha) ? 1 : 0;
         }
-        next.clear();
-        for (int64_t j = 1; j < n_act; ++j) {
+        for (int64_t j = 0; j < n_c; ++j) {
             if (hit[j]) {
-                cluster_out[active[j]] = cid;
-            } else {
-                next.push_back(active[j]);
+                assigned[cand[j]] = 1;
+                cluster_out[cand[j]] = cid;
             }
         }
         for (int64_t i = rb; i < re; ++i) acc[indices[i]] = 0.0;
-        active.swap(next);
         ++cid;
     }
     return cid;
@@ -107,57 +176,65 @@ int64_t bsmr_cluster_fast(int64_t R, const int64_t* indptr,
 
 // Faithful accumulate-greedy clustering ("exact" strategy, the reference
 // bsa_clustering semantics, rowReordering.cu:361-431): scan remaining rows
-// in order; a row joining the cluster adds its encoding into the
-// representative accumulator, and scanning continues *after* it against
-// the updated accumulator.
-// data_raw are the *unnormalized* encoding values: the accumulator sums
-// raw member encodings (rowReordering.cu:393-397) and is L2-normalized
-// once per sweep; candidate rows compare with their normalized data_hat.
+// in ascending order; a row joining the cluster adds its *raw* encoding
+// into the representative accumulator (data_raw, rowReordering.cu:393-397),
+// which is L2-renormalized per sweep; scanning continues after the join
+// against the updated accumulator. Candidates come from the inverted
+// index over the accumulator's (growing) support — rows outside it have
+// sim == 0, so skipping them never changes a decision.
 int64_t bsmr_cluster_exact(int64_t R, const int64_t* indptr,
                            const int32_t* indices, const double* data_raw,
                            const double* data_hat, const double* l1_hat,
                            int64_t nblocks, double alpha,
                            int64_t* cluster_out) {
-    std::vector<int64_t> active(R);
-    for (int64_t i = 0; i < R; ++i) active[i] = i;
+    InvertedIndex idx(R, indptr, indices, nblocks);
+    std::vector<uint8_t> assigned(R, 0);
+    std::vector<int64_t> stamp(R, -1);
     std::vector<double> acc(nblocks, 0.0);
-    std::vector<double> sims;
-    std::vector<int64_t> next;
-    std::vector<uint8_t> member;
+    std::vector<int32_t> acc_support;     // nonzero blocks of acc
+    std::vector<int64_t> cand;
     int64_t cid = 0;
-    while (!active.empty()) {
-        const int64_t n_act = static_cast<int64_t>(active.size());
-        member.assign(n_act, 0);
-        member[0] = 1;
-        const int64_t rep = active[0];
+    int64_t next = 0;
+    while (next < R) {
+        while (next < R && assigned[next]) ++next;
+        if (next >= R) break;
+        const int64_t rep = next;
+        assigned[rep] = 1;
         cluster_out[rep] = cid;
-        std::fill(acc.begin(), acc.end(), 0.0);
+        acc_support.clear();
         {
             const int64_t b = indptr[rep], e = indptr[rep + 1];
-            for (int64_t i = b; i < e; ++i)
+            for (int64_t i = b; i < e; ++i) {
                 acc[indices[i]] = data_raw[i];
+                acc_support.push_back(indices[i]);
+            }
         }
-        int64_t scan = 1;
-        while (scan < n_act) {
-            // normalize acc once per sweep
-            double l2sq = 0.0;
-#pragma omp parallel for reduction(+ : l2sq)
-            for (int64_t k = 0; k < nblocks; ++k) l2sq += acc[k] * acc[k];
-            const double inv_l2 = l2sq > 0.0 ? 1.0 / std::sqrt(l2sq) : 0.0;
-            double acc_l1 = 0.0;
-#pragma omp parallel for reduction(+ : acc_l1)
-            for (int64_t k = 0; k < nblocks; ++k) acc_l1 += acc[k];
-            acc_l1 *= inv_l2;
-            // find the first row beyond `scan` that joins
+        cand.clear();
+        collect_candidates(idx, acc_support.data(),
+                           static_cast<int64_t>(acc_support.size()),
+                           assigned, stamp, rep, rep, cand);
+        std::sort(cand.begin(), cand.end());
+        int64_t scan_pos = 0;  // index into cand
+        while (true) {
+            // normalize acc over its support
+            double l2sq = 0.0, l1 = 0.0;
+            for (const int32_t b : acc_support) {
+                l2sq += acc[b] * acc[b];
+                l1 += acc[b];
+            }
+            const double inv_l2 =
+                l2sq > 0.0 ? 1.0 / std::sqrt(l2sq) : 0.0;
+            const double acc_l1 = l1 * inv_l2;
+            const int64_t n_c = static_cast<int64_t>(cand.size());
             int64_t first_hit = -1;
-#pragma omp parallel
+#pragma omp parallel if (n_c - scan_pos > 512)
             {
                 int64_t local_hit = -1;
 #pragma omp for schedule(dynamic, 256)
-                for (int64_t j = scan; j < n_act; ++j) {
-                    // only skip iterations we know are past our local hit
+                for (int64_t j = scan_pos; j < n_c; ++j) {
                     if (local_hit >= 0 && j > local_hit) continue;
-                    const int64_t r = active[j];
+                    const int64_t r = cand[j];
+                    if (assigned[r]) continue;
                     const double lo =
                         acc_l1 < l1_hat[r] ? acc_l1 : l1_hat[r];
                     const double hi =
@@ -166,11 +243,11 @@ int64_t bsmr_cluster_exact(int64_t R, const int64_t* indptr,
                     const int64_t b = indptr[r], e = indptr[r + 1];
                     double smin = 0.0;
                     for (int64_t i = b; i < e; ++i) {
-                        double a = acc[indices[i]] * inv_l2;
-                        double v = data_hat[i];
+                        const double a = acc[indices[i]] * inv_l2;
+                        const double v = data_hat[i];
                         smin += a < v ? a : v;
                     }
-                    double smax = acc_l1 + l1_hat[r] - smin;
+                    const double smax = acc_l1 + l1_hat[r] - smin;
                     if (smax > 0.0 && smin / smax > alpha) local_hit = j;
                 }
 #pragma omp critical
@@ -181,18 +258,45 @@ int64_t bsmr_cluster_exact(int64_t R, const int64_t* indptr,
                 }
             }
             if (first_hit < 0) break;
-            const int64_t r = active[first_hit];
+            const int64_t r = cand[first_hit];
+            assigned[r] = 1;
             cluster_out[r] = cid;
-            member[first_hit] = 1;
-            const int64_t b = indptr[r], e = indptr[r + 1];
-            for (int64_t i = b; i < e; ++i)
-                acc[indices[i]] += data_raw[i];
-            scan = first_hit + 1;
+            bool grew = false;
+            const int64_t n_support_before =
+                static_cast<int64_t>(acc_support.size());
+            for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+                const int32_t b = indices[i];
+                if (acc[b] == 0.0) {
+                    acc_support.push_back(b);
+                    grew = true;
+                }
+                acc[b] += data_raw[i];
+            }
+            scan_pos = first_hit + 1;
+            if (grew) {
+                // new support blocks can surface candidate rows that were
+                // unreachable before: collect candidates of ONLY the new
+                // blocks (stamp dedups against everything already in
+                // cand), sort the appended tail, merge, and resume past
+                // the joined row id (the spec never revisits rows at or
+                // before the join position within a cluster)
+                const size_t old_n = cand.size();
+                collect_candidates(
+                    idx, acc_support.data() + n_support_before,
+                    static_cast<int64_t>(acc_support.size())
+                        - n_support_before,
+                    assigned, stamp, rep, rep, cand);
+                if (cand.size() > old_n) {
+                    std::sort(cand.begin() + old_n, cand.end());
+                    std::inplace_merge(cand.begin(),
+                                       cand.begin() + old_n, cand.end());
+                    scan_pos = static_cast<int64_t>(
+                        std::upper_bound(cand.begin(), cand.end(), r)
+                        - cand.begin());
+                }
+            }
         }
-        next.clear();
-        for (int64_t j = 0; j < n_act; ++j)
-            if (!member[j]) next.push_back(active[j]);
-        active.swap(next);
+        for (const int32_t b : acc_support) acc[b] = 0.0;
         ++cid;
     }
     return cid;
