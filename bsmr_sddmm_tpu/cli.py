@@ -28,8 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "src/sddmm.cu:62-118)")
     p.add_argument("-l", "--log-dir", default="",
                    help="directory for [key : value] log files")
-    p.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--backend", choices=["auto", "xla", "pallas"],
+                   default="auto")
     p.add_argument("--panel-height", type=int, default=32)
+    p.add_argument("--col-mode", choices=["bsr", "reorder"], default="bsr")
+    p.add_argument("--residual-mode", choices=["gathered", "pernnz"],
+                   default="gathered")
     p.add_argument("--row-strategy", choices=["exact", "fast", "none"],
                    default="fast")
     p.add_argument("--validate", action="store_true",
@@ -54,6 +58,8 @@ def main(argv=None) -> int:
     cfg = SddmmConfig(k=args.k, alpha=args.alpha, delta=args.delta,
                       panel_height=args.panel_height,
                       backend=args.backend,
+                      col_mode=args.col_mode,
+                      residual_mode=args.residual_mode,
                       row_strategy=args.row_strategy,
                       num_iterations=args.iterations)
     pipe = BsmrSddmm(csr, cfg)

@@ -106,17 +106,17 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
     ``fn(A, Bt, dplan)`` where A is (M, K) row-major, Bt is (N, K) — i.e.
     B^T, so both operand gathers are row gathers. Output layout:
 
-    * ``emit="csr"``: (nnz+1,) — the result in original CSR value order
-      plus a trailing trash slot (zeros at positions this plan shard does
-      not own). Matches the reference contract (matrixP in CSR value
-      order, sddmmKernel.cu:332-350) but pays a per-element scatter that
-      TPUs execute at only a few hundred M elem/s.
-    * ``emit="rphm"``: ``(dense_out (T, ph, bw), res_vals (E,))`` — the
-      values in the plan's own tile/residual layout, no per-element
-      reorder anywhere. This is the layout the framework's own consumers
-      (edge softmax/SpMM, see ops/graph.py) can use directly;
-      ``TilePlan.tile_scatter``/``res_out`` give the static bijection back
-      to CSR order.
+    * ``emit="csr"``: (nnz,) — the result in original CSR value order
+      (the reference contract: matrixP in CSR value order,
+      sddmmKernel.cu:332-350), emitted as ONE gather along the
+      precomputed ``rphm_to_csr`` map.
+    * ``emit="rphm"``: ``(dense_out (T, ph, bw), gathered_out
+      (Tg, ph, bw), res_vals (E,))`` — the values in the plan's own
+      three-tier layout, no per-element reorder anywhere;
+      ``TilePlan.rphm_to_csr`` is the static bijection back to CSR order.
+    * ``emit="csr_scatter"``: like "csr" but via per-slot scatter with a
+      trailing trash slot — slower, but non-owned slots become zeros,
+      which is what the shard_map psum combine needs.
 
     Shared by the single-chip jit and the shard_map multi-chip wrapper.
     """
