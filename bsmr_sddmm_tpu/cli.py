@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="check against the fp64 CPU oracle (reference "
                         "#define VALIDATE, src/sddmm.cu:7)")
     p.add_argument("--iterations", type=int, default=10)
+    p.add_argument("--reorder-cache", action="store_true",
+                   help="cache row reorderings on disk (resume sweeps "
+                        "without re-clustering)")
     return p
 
 
@@ -61,6 +64,7 @@ def main(argv=None) -> int:
                       col_mode=args.col_mode,
                       residual_mode=args.residual_mode,
                       row_strategy=args.row_strategy,
+                      reorder_cache=args.reorder_cache,
                       num_iterations=args.iterations)
     pipe = BsmrSddmm(csr, cfg)
 

@@ -78,6 +78,10 @@ class SddmmConfig:
     # Use the C++/OpenMP clustering (bsmr_sddmm_tpu.native) when it can be
     # built; same semantics as the NumPy strategies, ~100x faster.
     use_native: bool = True
+    # Cache row-reordering results on disk keyed by (mask pattern, alpha,
+    # strategy): a re-run or resumed sweep skips the dominant
+    # preprocessing cost (SURVEY.md section 5 checkpoint/resume).
+    reorder_cache: bool = False
 
     # --- residual packing ---------------------------------------------------
     # What happens to nonzeros outside dense tiles. "gathered": pack each

@@ -49,8 +49,13 @@ class BsmrSddmm:
         delta = cfg.delta if delta is None else delta
         key = (alpha, cfg.row_strategy)
         if key not in self._row_cache:
-            self._row_cache[key] = row_reordering(
-                self.csr, alpha, cfg.replace(alpha=alpha))
+            if cfg.reorder_cache:
+                from bsmr_sddmm_tpu.cache import cached_row_reordering
+                self._row_cache[key] = cached_row_reordering(
+                    self.csr, alpha, cfg.replace(alpha=alpha))
+            else:
+                self._row_cache[key] = row_reordering(
+                    self.csr, alpha, cfg.replace(alpha=alpha))
         base = self._row_cache[key]
         # column split is cheap; recompute per delta on a shallow copy
         reord = dataclasses.replace(base)

@@ -222,3 +222,22 @@ def test_weak_scaling_shape():
     assert set(res) == {1, 2}
     assert res[1]["efficiency"] == 1.0
     assert res[2]["nnz_per_s"] > 0
+
+
+def test_reorder_cache_roundtrip(tmp_path, monkeypatch):
+    from bsmr_sddmm_tpu import cache
+    from bsmr_sddmm_tpu.config import SddmmConfig
+    from bsmr_sddmm_tpu.reorder import row_reordering
+    monkeypatch.setenv("BSMR_CACHE_DIR", str(tmp_path))
+    csr = random_mask(256, 256, 3000, seed=8, block_rows=16, block_cols=64)
+    cfg = SddmmConfig(row_strategy="fast")
+    r1 = cache.cached_row_reordering(csr, 0.3, cfg)   # miss -> store
+    r2 = cache.cached_row_reordering(csr, 0.3, cfg)   # hit
+    np.testing.assert_array_equal(r1.row_perm, r2.row_perm)
+    np.testing.assert_array_equal(r1.cluster_ids, r2.cluster_ids)
+    direct = row_reordering(csr, 0.3, cfg)
+    np.testing.assert_array_equal(direct.row_perm, r2.row_perm)
+    # different alpha is a different entry
+    r3 = cache.cached_row_reordering(csr, 0.5, cfg)
+    assert r3.num_clusters != 0
+    assert len(list(tmp_path.glob("*.npz"))) == 2
