@@ -132,6 +132,12 @@ def time_jitted(fn: Callable, *args, iterations: int = 10,
         est_s = max(ms, 0.05 * upper, 1e-3) / 1e3
         n = int(min(max(iterations, 3.0 * _rtt() / est_s), n_cap))
         ms, upper, t_hi = slope(n)
+        # second estimate at the same scale: take the min (transient
+        # contention on the shared link only ever inflates a slope)
+        ms2, upper2, _ = slope(n)
+        if ms2 > 0.05 * upper2:
+            ms = min(ms, ms2) if ms > 0.05 * upper else ms2
+            upper = min(upper, upper2)
     if ms <= 0.05 * upper:  # still degenerate: report the safe upper bound
         ms = upper
     return max(ms, 1e-6), result
