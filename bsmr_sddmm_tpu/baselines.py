@@ -23,13 +23,12 @@ so ``BsmrSddmm.benchmark``'s timing and the RunLog schema apply unchanged.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bsmr_sddmm_tpu.config import SddmmConfig
 from bsmr_sddmm_tpu.formats import CSR
 from bsmr_sddmm_tpu.utils.logger import RunLog
 from bsmr_sddmm_tpu.utils.timing import time_jitted

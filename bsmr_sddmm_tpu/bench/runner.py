@@ -19,7 +19,7 @@ import os
 import subprocess
 import sys
 import time
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 
 def run_matrix(matrix_path: str, log_dir: str, k: int = 32,

@@ -11,7 +11,6 @@ MXU (lane width 128) instead of WMMA's 16x16.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

@@ -13,8 +13,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Optional
 
-import numpy as np
-
 from bsmr_sddmm_tpu.config import SddmmConfig
 from bsmr_sddmm_tpu.formats import CSR
 from bsmr_sddmm_tpu.pack import TilePlan, pack_tiles

@@ -13,8 +13,6 @@ from __future__ import annotations
 import dataclasses
 import gzip
 import os
-from typing import Optional, Tuple
-
 import numpy as np
 
 

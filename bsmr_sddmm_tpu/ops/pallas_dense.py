@@ -22,8 +22,6 @@ src/sddmmKernel.cu:213-351). Differences are deliberate TPU-first choices:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

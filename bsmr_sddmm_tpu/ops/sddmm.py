@@ -18,7 +18,6 @@ the compiler's job, and the hybrid split itself is what saves the flops.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -18,7 +18,7 @@ import numpy as np
 
 from bsmr_sddmm_tpu.config import SddmmConfig
 from bsmr_sddmm_tpu.formats import CSR
-from bsmr_sddmm_tpu.ops.sddmm import (DevicePlan, device_plan, make_sddmm_fn,
+from bsmr_sddmm_tpu.ops.sddmm import (device_plan, make_sddmm_fn,
                                       sddmm_ref)
 from bsmr_sddmm_tpu.pack import TilePlan, pack_tiles
 from bsmr_sddmm_tpu.reorder import (BsmrReordering, row_reordering,
