@@ -77,6 +77,8 @@ def run_baseline_matrix(matrix_path: str, log_dir: str, baseline: str,
 
 def run_suite(matrix_list: Sequence[str], log_dir: str,
               ks: Sequence[int] = (32,),
+              alphas: Sequence[float] = (0.3,),
+              deltas: Sequence[float] = (0.3,),
               baselines: Sequence[str] = (),
               test_mode: bool = False, backend: str = "xla",
               validate: bool = False,
@@ -88,16 +90,24 @@ def run_suite(matrix_list: Sequence[str], log_dir: str,
     for path in matrix_list:
         name = os.path.basename(path)
         for k in ks:
-            t0 = time.time()
-            rc = run_matrix(path, log_dir, k=k, test_mode=test_mode,
-                            backend=backend, validate=validate,
-                            timeout_s=timeout_s)
-            dt = time.time() - t0
-            echo(f"[{name} k={k} bsmr] rc={rc} {dt:.1f}s")
-            statuses.append(dict(file=name, k=k, method="bsmr",
-                                 returncode=rc, seconds=dt))
+            for alpha in alphas:
+                for delta in deltas:
+                    t0 = time.time()
+                    rc = run_matrix(path, log_dir, k=k, alpha=alpha,
+                                    delta=delta, test_mode=test_mode,
+                                    backend=backend, validate=validate,
+                                    timeout_s=timeout_s)
+                    dt = time.time() - t0
+                    echo(f"[{name} k={k} a={alpha} d={delta} bsmr] "
+                         f"rc={rc} {dt:.1f}s")
+                    statuses.append(dict(file=name, k=k, method="bsmr",
+                                         returncode=rc, seconds=dt))
+                    if test_mode:
+                        break  # test mode sweeps everything internally
+                if test_mode:
+                    break
             if test_mode:
-                break  # test mode sweeps all K internally
+                break
         for base in baselines:
             for k in ks:
                 t0 = time.time()
@@ -121,6 +131,10 @@ def main(argv=None) -> int:
                    help="text file with one matrix path per line")
     p.add_argument("-l", "--log-dir", required=True)
     p.add_argument("-k", type=int, action="append", default=None)
+    p.add_argument("-a", "--alpha", type=float, action="append",
+                   default=None)
+    p.add_argument("-d", "--delta", type=float, action="append",
+                   default=None)
     p.add_argument("-t", "--test-mode", action="store_true")
     p.add_argument("--baselines", nargs="*", default=[],
                    choices=["dense_masked", "bcoo", "gather_dot"])
@@ -132,6 +146,8 @@ def main(argv=None) -> int:
         matrices = [ln.strip() for ln in f if ln.strip()
                     and not ln.startswith("#")]
     statuses = run_suite(matrices, args.log_dir, ks=args.k or (32,),
+                         alphas=args.alpha or (0.3,),
+                         deltas=args.delta or (0.3,),
                          baselines=args.baselines,
                          test_mode=args.test_mode, backend=args.backend,
                          validate=args.validate, timeout_s=args.timeout)
