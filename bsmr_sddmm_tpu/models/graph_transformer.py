@@ -26,7 +26,7 @@ import numpy as np
 
 from bsmr_sddmm_tpu.config import SddmmConfig
 from bsmr_sddmm_tpu.formats import CSR
-from bsmr_sddmm_tpu.ops.graph import csr_segment_ids, edge_softmax, spmm
+from bsmr_sddmm_tpu.ops.graph_rphm import make_sparse_attention_rphm
 from bsmr_sddmm_tpu.ops.sddmm import DevicePlan, device_plan, make_sddmm_body
 from bsmr_sddmm_tpu.pack import TilePlan, pack_tiles
 from bsmr_sddmm_tpu.reorder import bsmr
@@ -85,25 +85,19 @@ def make_forward(model: GraphTransformer, csr: CSR,
     config = config.replace(k=model.head_dim)
     reord = bsmr(csr, config)
     plan = pack_tiles(csr, reord, config, k=model.head_dim)
-    body = make_sddmm_body(plan, config)
-    seg_ids = jnp.asarray(csr_segment_ids(csr))
-    col_ids = jnp.asarray(csr.col_indices.astype(np.int32))
+    # tile-native attention: SDDMM -> edge softmax -> SpMM entirely in the
+    # rphm layout (no per-element CSR round trip anywhere in the layer)
+    body = make_sddmm_body(plan, config, emit="rphm")
+    head_fn = make_sparse_attention_rphm(plan, body)
     n_nodes = csr.rows
-    nnz = csr.nnz
-    inv_sqrt_d = 1.0 / np.sqrt(model.head_dim)
 
     def attention(layer_params, x, dplan):
         d, h, hd = model.model_dim, model.num_heads, model.head_dim
         q = (x @ layer_params["wq"]).reshape(n_nodes, h, hd)
         kk = (x @ layer_params["wk"]).reshape(n_nodes, h, hd)
         v = (x @ layer_params["wv"]).reshape(n_nodes, h, hd)
-
-        def one_head(qh, kh, vh):
-            scores = body(qh, kh, dplan)[:nnz] * inv_sqrt_d  # (nnz,)
-            alpha = edge_softmax(scores, seg_ids, n_nodes)
-            return spmm(alpha, col_ids, seg_ids, vh, n_nodes)  # (M, hd)
-
-        heads = jax.vmap(one_head, in_axes=(1, 1, 1), out_axes=1)(q, kk, v)
+        heads = jax.vmap(head_fn, in_axes=(1, 1, 1, None),
+                         out_axes=1)(q, kk, v, dplan)
         return heads.reshape(n_nodes, d) @ layer_params["wo"]
 
     def forward(params, X, dplan):

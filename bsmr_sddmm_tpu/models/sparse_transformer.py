@@ -25,7 +25,7 @@ import numpy as np
 
 from bsmr_sddmm_tpu.config import SddmmConfig
 from bsmr_sddmm_tpu.formats import COO, CSR
-from bsmr_sddmm_tpu.ops.graph import csr_segment_ids, edge_softmax, spmm
+from bsmr_sddmm_tpu.ops.graph_rphm import make_sparse_attention_rphm
 from bsmr_sddmm_tpu.ops.sddmm import DevicePlan, device_plan, make_sddmm_body
 from bsmr_sddmm_tpu.pack import TilePlan, pack_tiles
 from bsmr_sddmm_tpu.reorder import bsmr
@@ -120,24 +120,18 @@ def make_forward(model: SparseTransformer,
     config = config.replace(k=model.head_dim)
     reord = bsmr(mask, config)
     plan = pack_tiles(mask, reord, config, k=model.head_dim)
-    body = make_sddmm_body(plan, config)
-    seg_ids = jnp.asarray(csr_segment_ids(mask))
-    col_ids = jnp.asarray(mask.col_indices.astype(np.int32))
+    # tile-native attention (see ops/graph_rphm.py): no CSR round trip
+    body = make_sddmm_body(plan, config, emit="rphm")
+    head_fn = make_sparse_attention_rphm(plan, body)
     n = mask.rows
-    inv_sqrt_d = 1.0 / np.sqrt(model.head_dim)
 
     def attention(lp, x, dplan):
         d, h, hd = model.model_dim, model.num_heads, model.head_dim
         q = (x @ lp["wq"]).reshape(n, h, hd)
         kk = (x @ lp["wk"]).reshape(n, h, hd)
         v = (x @ lp["wv"]).reshape(n, h, hd)
-
-        def one_head(qh, kh, vh):
-            scores = body(qh, kh, dplan) * inv_sqrt_d   # (nnz,)
-            alpha = edge_softmax(scores, seg_ids, n)
-            return spmm(alpha, col_ids, seg_ids, vh, n)
-
-        heads = jax.vmap(one_head, in_axes=(1, 1, 1), out_axes=1)(q, kk, v)
+        heads = jax.vmap(head_fn, in_axes=(1, 1, 1, None),
+                         out_axes=1)(q, kk, v, dplan)
         return heads.reshape(n, d) @ lp["wo"]
 
     def forward(params, tokens, dplan):

@@ -1,0 +1,184 @@
+"""Tile-native graph ops: edge softmax + SpMM over the rphm layout.
+
+The hybrid SDDMM's natural output is the plan's own three-tier layout
+(`emit="rphm"`: dense tiles, gathered tiles, per-nnz residual). Consumers
+that round-trip through CSR order pay a ~140 M elem/s element gather per
+conversion; these ops instead run the rest of sparse attention *in tile
+layout*:
+
+    scores (rphm) -> edge_softmax_rphm -> alpha (rphm)
+    alpha (rphm), V -> spmm_rphm -> (M, F) node features
+
+Row-wise reductions become per-tile VPU reductions + tiny segment ops
+over panels; the SpMM's dense tier is per-tile (ph, bw) @ (bw, F) MXU
+matmuls against *contiguous* V blocks — the same zero-gather property the
+SDDMM's dense tier enjoys. Nothing in this file touches per-element
+indexing except the small per-nnz residual tier.
+
+Validity masking: a tile slot is real iff its scatter index < nnz (the
+trash-slot convention of pack.TilePlan), so masks come free from arrays
+already on the device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bsmr_sddmm_tpu.ops.sddmm import DevicePlan
+from bsmr_sddmm_tpu.pack import TilePlan
+
+_NEG = -1e30  # mask value; avoids inf-inf NaNs in empty rows
+
+
+def make_edge_softmax_rphm(plan: TilePlan) -> Callable:
+    """Build ``fn(dense, gathered, res, dplan) -> (dense, gathered, res)``
+    normalizing scores row-wise (numerically stable) entirely in the rphm
+    layout."""
+    P = max(plan.num_panels, 1)
+    ph = plan.panel_height
+    nnz = plan.nnz
+    n_rows = P * ph
+    tile_panel_np = plan.tile_panel  # (T,) flat (fat layouts stay flat)
+
+    def fn(dense: jax.Array, gathered: jax.Array, res: jax.Array,
+           dplan: DevicePlan):
+        d_valid = dplan.tile_scatter < nnz          # (T, ph, bw)
+        g_valid = dplan.g_scatter < nnz             # (Tg, ph, bw)
+        r_valid = dplan.res_out < nnz               # (E,)
+
+        d_masked = jnp.where(d_valid, dense, _NEG)
+        g_masked = jnp.where(g_valid, gathered, _NEG)
+        r_masked = jnp.where(r_valid, res, _NEG)
+
+        # --- row max over (panel, local row) -----------------------------
+        d_rowmax = jax.ops.segment_max(
+            d_masked.max(axis=2), dplan.tile_panel, num_segments=P)
+        g_rowmax = jax.ops.segment_max(
+            g_masked.max(axis=2), dplan.g_panel, num_segments=P)
+        r_rowmax = jax.ops.segment_max(
+            r_masked, dplan.res_arow, num_segments=n_rows).reshape(P, ph)
+        row_max = jnp.maximum(jnp.maximum(d_rowmax, g_rowmax), r_rowmax)
+        row_max = jnp.maximum(row_max, _NEG / 2)    # empty rows stay finite
+
+        # --- exp + row sum ------------------------------------------------
+        d_exp = jnp.where(
+            d_valid, jnp.exp(dense - row_max[dplan.tile_panel][:, :, None]),
+            0.0)
+        g_exp = jnp.where(
+            g_valid, jnp.exp(gathered - row_max[dplan.g_panel][:, :, None]),
+            0.0)
+        r_exp = jnp.where(
+            r_valid, jnp.exp(res - row_max.reshape(-1)[dplan.res_arow]),
+            0.0)
+
+        d_rowsum = jax.ops.segment_sum(
+            d_exp.sum(axis=2), dplan.tile_panel, num_segments=P)
+        g_rowsum = jax.ops.segment_sum(
+            g_exp.sum(axis=2), dplan.g_panel, num_segments=P)
+        r_rowsum = jax.ops.segment_sum(
+            r_exp, dplan.res_arow, num_segments=n_rows).reshape(P, ph)
+        denom = jnp.maximum(d_rowsum + g_rowsum + r_rowsum, 1e-20)
+
+        return (d_exp / denom[dplan.tile_panel][:, :, None],
+                g_exp / denom[dplan.g_panel][:, :, None],
+                r_exp / denom.reshape(-1)[dplan.res_arow])
+
+    return fn
+
+
+def make_spmm_rphm(plan: TilePlan) -> Callable:
+    """Build ``fn(dense, gathered, res, V, dplan) -> (M, F)``:
+    ``out[r] = sum_e vals[e] * V[col[e]]`` with values in rphm layout and
+    the output in ORIGINAL row order.
+
+    Dense tier: per-tile (ph, bw) @ contiguous V block (MXU, zero gather).
+    Gathered tier: per-tile (ph, bw) @ take(V, tile cols).
+    Residual: per-entry gather + segment sum (small by construction).
+    """
+    P = max(plan.num_panels, 1)
+    ph, bw = plan.panel_height, plan.block_width
+    nnz = plan.nnz
+    n_rows = P * ph
+    N = plan.cols
+    n_cblocks = -(-N // bw)
+    M = plan.rows
+    # per-tile cblock (fat plans store per-step ids in dplan.tile_src)
+    tile_cblock = jnp.asarray(
+        plan.tile_cblock if plan.tile_cblock is not None
+        else np.zeros(plan.tile_panel.shape[0], np.int32))
+    # original-row gather positions: row r sits at position inv_pos[r] of
+    # the permuted layout; rows absent from the permutation read the last
+    # (padded, zero-contribution) position
+    inv_pos = np.full(M, n_rows, np.int64)
+    perm = plan.row_perm_padded.astype(np.int64)
+    # pad slots repeat row id 0; np.unique returns the FIRST occurrence,
+    # which is the true position (pads only ever follow the real slots)
+    uniq, first_idx = np.unique(perm, return_index=True)
+    inv_pos[uniq] = first_idx
+    inv_pos_dev = jnp.asarray(inv_pos, jnp.int32)
+
+    def fn(dense: jax.Array, gathered: jax.Array, res: jax.Array,
+           V: jax.Array, dplan: DevicePlan) -> jax.Array:
+        F = V.shape[1]
+        # zero trash/pad slots: their rphm values are whatever the padded
+        # matmuls computed (edge_softmax_rphm zeroes them, but raw values
+        # must be safe too)
+        dense = jnp.where(dplan.tile_scatter < nnz, dense, 0.0)
+        gathered = jnp.where(dplan.g_scatter < nnz, gathered, 0.0)
+        res = jnp.where(dplan.res_out < nnz, res, 0.0)
+        Vp = jnp.pad(V.astype(jnp.float32),
+                     ((0, n_cblocks * bw - N), (0, 0)))
+        V_blocks = Vp.reshape(n_cblocks, bw, F)
+
+        # dense tier: (T, ph, bw) @ (T, bw, F) with contiguous V blocks
+        vb = jnp.take(V_blocks, tile_cblock, axis=0)
+        d_part = jax.lax.dot_general(
+            dense, vb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (T, ph, F)
+        out = jax.ops.segment_sum(d_part, dplan.tile_panel,
+                                  num_segments=P)     # (P, ph, F)
+
+        # gathered tier: V rows gathered per tile column
+        vg = jnp.take(Vp, dplan.g_cols.reshape(-1), axis=0) \
+            .reshape(-1, bw, F)
+        g_part = jax.lax.dot_general(
+            gathered, vg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        out = out + jax.ops.segment_sum(g_part, dplan.g_panel,
+                                        num_segments=P)
+
+        out = out.reshape(n_rows, F)
+
+        # residual tier: per-entry contribution
+        vr = jnp.take(Vp, dplan.res_col, axis=0)      # (E, F)
+        r_part = vr * res[:, None]
+        out = out + jax.ops.segment_sum(r_part, dplan.res_arow,
+                                        num_segments=n_rows)
+
+        # back to original row order (pad position n_rows reads zeros)
+        out = jnp.concatenate([out, jnp.zeros((1, F), jnp.float32)])
+        return jnp.take(out, inv_pos_dev, axis=0)     # (M, F)
+
+    return fn
+
+
+def make_sparse_attention_rphm(plan: TilePlan, body: Callable
+                               ) -> Callable:
+    """Fused tile-native attention head: ``fn(q, k, v, dplan) -> (M, F)``
+    = SpMM(softmax(SDDMM(q, k) / sqrt(dk)), v), never leaving the rphm
+    layout. ``body`` is a make_sddmm_body(..., emit="rphm") callable."""
+    softmax = make_edge_softmax_rphm(plan)
+    spmm = make_spmm_rphm(plan)
+    inv_sqrt = 1.0 / np.sqrt(plan.k)
+
+    def fn(q: jax.Array, kk: jax.Array, v: jax.Array,
+           dplan: DevicePlan) -> jax.Array:
+        d, g, r = body(q, kk, dplan)
+        d, g, r = softmax(d * inv_sqrt, g * inv_sqrt, r * inv_sqrt, dplan)
+        return spmm(d, g, r, v, dplan)
+
+    return fn

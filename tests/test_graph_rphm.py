@@ -1,0 +1,112 @@
+"""Tile-native (rphm-layout) edge softmax + SpMM vs the CSR-path oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bsmr_sddmm_tpu.config import SddmmConfig
+from bsmr_sddmm_tpu.formats import make_dense, random_mask
+from bsmr_sddmm_tpu.ops.graph import csr_segment_ids, edge_softmax, spmm
+from bsmr_sddmm_tpu.ops.graph_rphm import (make_edge_softmax_rphm,
+                                           make_spmm_rphm,
+                                           make_sparse_attention_rphm)
+from bsmr_sddmm_tpu.ops.sddmm import device_plan, make_sddmm_body
+from bsmr_sddmm_tpu.pack import pack_tiles
+from bsmr_sddmm_tpu.reorder import bsmr
+
+from tests.conftest import make_ab
+
+
+def _setup(delta=0.05, rows=512, cols=768, nnz=20000, seed=7):
+    csr = random_mask(rows=rows, cols=cols, nnz=nnz, seed=seed,
+                      block_rows=24, block_cols=96)
+    cfg = SddmmConfig(k=32, panel_height=16, dense_chunk=16,
+                      residual_chunk=2048, delta=delta)
+    reord = bsmr(csr, cfg)
+    plan = pack_tiles(csr, reord, cfg)
+    return csr, cfg, plan
+
+
+def _csr_from_rphm(plan, d, g, r):
+    return plan.csr_values_from_rphm(np.asarray(d), np.asarray(g),
+                                     np.asarray(r))
+
+
+@pytest.mark.parametrize("delta", [0.006, 0.05, 1.1])
+def test_edge_softmax_rphm_matches_csr(delta):
+    csr, cfg, plan = _setup(delta=delta)
+    dplan = device_plan(plan)
+    A, B = make_ab(csr, cfg.k)
+    Bt = np.ascontiguousarray(B.T)
+    body = make_sddmm_body(plan, cfg, emit="rphm")
+    d, g, r = jax.jit(body)(jnp.asarray(A), jnp.asarray(Bt), dplan)
+
+    softmax = make_edge_softmax_rphm(plan)
+    da, ga, ra = jax.jit(softmax)(d, g, r, dplan)
+    got = _csr_from_rphm(plan, da, ga, ra)
+
+    scores = _csr_from_rphm(plan, d, g, r)
+    seg = jnp.asarray(csr_segment_ids(csr))
+    want = np.asarray(edge_softmax(jnp.asarray(scores), seg, csr.rows))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("delta", [0.006, 1.1])
+def test_spmm_rphm_matches_csr(delta):
+    csr, cfg, plan = _setup(delta=delta)
+    dplan = device_plan(plan)
+    A, B = make_ab(csr, cfg.k)
+    Bt = np.ascontiguousarray(B.T)
+    body = make_sddmm_body(plan, cfg, emit="rphm")
+    d, g, r = jax.jit(body)(jnp.asarray(A), jnp.asarray(Bt), dplan)
+    vals = _csr_from_rphm(plan, d, g, r)
+
+    F = 24
+    V = make_dense(csr.cols, F, seed=99)
+    spmm_fn = make_spmm_rphm(plan)
+    got = np.asarray(jax.jit(spmm_fn)(d, g, r, jnp.asarray(V), dplan))
+
+    seg = jnp.asarray(csr_segment_ids(csr))
+    col = jnp.asarray(csr.col_indices.astype(np.int32))
+    want = np.asarray(spmm(jnp.asarray(vals), col, seg, jnp.asarray(V),
+                           csr.rows))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_head_matches_csr_path():
+    csr, cfg, plan = _setup()
+    dplan = device_plan(plan)
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(csr.rows, cfg.k)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(csr.cols, cfg.k)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(csr.cols, 16)), jnp.float32)
+
+    body = make_sddmm_body(plan, cfg, emit="rphm")
+    head = make_sparse_attention_rphm(plan, body)
+    got = np.asarray(jax.jit(head)(q, k, v, dplan))
+
+    body_csr = make_sddmm_body(plan, cfg, emit="csr")
+    seg = jnp.asarray(csr_segment_ids(csr))
+    col = jnp.asarray(csr.col_indices.astype(np.int32))
+    scores = body_csr(q, k, dplan) / np.sqrt(cfg.k)
+    alpha = edge_softmax(scores, seg, csr.rows)
+    want = np.asarray(spmm(alpha, col, seg, v, csr.rows))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_spmm_rphm_empty_rows():
+    """Rows with no nonzeros must come back exactly zero."""
+    csr, cfg, plan = _setup(nnz=900, rows=96, cols=160, seed=3)
+    empty = np.nonzero(csr.row_nnz() == 0)[0]
+    if empty.size == 0:
+        pytest.skip("mask has no empty rows")
+    dplan = device_plan(plan)
+    A, B = make_ab(csr, cfg.k)
+    body = make_sddmm_body(plan, cfg, emit="rphm")
+    d, g, r = jax.jit(body)(jnp.asarray(A),
+                            jnp.asarray(np.ascontiguousarray(B.T)), dplan)
+    V = make_dense(csr.cols, 8, seed=1)
+    out = np.asarray(make_spmm_rphm(plan)(d, g, r, jnp.asarray(V), dplan))
+    np.testing.assert_array_equal(out[empty], 0.0)
