@@ -96,8 +96,11 @@ def make_forward(model: GraphTransformer, csr: CSR,
         q = (x @ layer_params["wq"]).reshape(n_nodes, h, hd)
         kk = (x @ layer_params["wk"]).reshape(n_nodes, h, hd)
         v = (x @ layer_params["wv"]).reshape(n_nodes, h, hd)
-        heads = jax.vmap(head_fn, in_axes=(1, 1, 1, None),
-                         out_axes=1)(q, kk, v, dplan)
+        # static loop (not vmap): batching a pallas_call inserts a batch
+        # dimension into its BlockSpecs, which Mosaic's tiling rejects;
+        # the per-head kernel is compiled once and reused
+        heads = jnp.stack([head_fn(q[:, h_], kk[:, h_], v[:, h_], dplan)
+                           for h_ in range(h)], axis=1)
         return heads.reshape(n_nodes, d) @ layer_params["wo"]
 
     def forward(params, X, dplan):

@@ -130,8 +130,11 @@ def make_forward(model: SparseTransformer,
         q = (x @ lp["wq"]).reshape(n, h, hd)
         kk = (x @ lp["wk"]).reshape(n, h, hd)
         v = (x @ lp["wv"]).reshape(n, h, hd)
-        heads = jax.vmap(head_fn, in_axes=(1, 1, 1, None),
-                         out_axes=1)(q, kk, v, dplan)
+        # static loop (not vmap): batching a pallas_call inserts a batch
+        # dimension into its BlockSpecs, which Mosaic's tiling rejects;
+        # the per-head kernel is compiled once and reused
+        heads = jnp.stack([head_fn(q[:, h_], kk[:, h_], v[:, h_], dplan)
+                           for h_ in range(h)], axis=1)
         return heads.reshape(n, d) @ lp["wo"]
 
     def forward(params, tokens, dplan):

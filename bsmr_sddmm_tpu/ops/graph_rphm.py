@@ -166,18 +166,107 @@ def make_spmm_rphm(plan: TilePlan) -> Callable:
     return fn
 
 
+def make_spmm_transpose_rphm(plan: TilePlan) -> Callable:
+    """Build ``fn(dense, gathered, res, A_full, dplan) -> (N, F)``:
+    the column-side aggregation ``out[c] = sum_e vals[e] * A[row_e]`` —
+    the transpose counterpart of :func:`make_spmm_rphm`, needed for the
+    SDDMM backward pass (dB^T). Dense tier: per-tile (bw, ph) @ A panel on
+    the MXU, segment-summed by column block (contiguous landing); gathered
+    tier scatter-adds per tile column; residual per entry."""
+    P = max(plan.num_panels, 1)
+    ph, bw = plan.panel_height, plan.block_width
+    nnz = plan.nnz
+    N = plan.cols
+    n_cblocks = -(-N // bw)
+    tile_cblock = jnp.asarray(
+        plan.tile_cblock if plan.tile_cblock is not None
+        else np.zeros(plan.tile_panel.shape[0], np.int32))
+
+    def fn(dense: jax.Array, gathered: jax.Array, res: jax.Array,
+           A_full: jax.Array, dplan: DevicePlan) -> jax.Array:
+        F = A_full.shape[1]
+        dense = jnp.where(dplan.tile_scatter < nnz, dense, 0.0)
+        gathered = jnp.where(dplan.g_scatter < nnz, gathered, 0.0)
+        res = jnp.where(dplan.res_out < nnz, res, 0.0)
+        A_perm = jnp.take(A_full, dplan.row_perm_padded, axis=0)
+        A_panels = A_perm.reshape(P, ph, F)
+
+        # dense tier: (T, bw, ph) @ (T, ph, F) -> (T, bw, F), summed per
+        # column block (contiguous rows of the output)
+        a_t = jnp.take(A_panels, dplan.tile_panel, axis=0)  # (T, ph, F)
+        d_part = jax.lax.dot_general(
+            dense, a_t, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)             # (T, bw, F)
+        out_blocks = jax.ops.segment_sum(
+            d_part, tile_cblock, num_segments=n_cblocks)    # (C, bw, F)
+        out = out_blocks.reshape(n_cblocks * bw, F)
+
+        # gathered tier: scatter-add per tile column
+        a_g = jnp.take(A_panels, dplan.g_panel, axis=0)     # (Tg, ph, F)
+        g_part = jax.lax.dot_general(
+            gathered, a_g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)             # (Tg, bw, F)
+        out = out + jax.ops.segment_sum(
+            g_part.reshape(-1, F), dplan.g_cols.reshape(-1),
+            num_segments=n_cblocks * bw)
+
+        # residual tier
+        a_r = jnp.take(A_perm, dplan.res_arow, axis=0)      # (E, F)
+        out = out + jax.ops.segment_sum(
+            a_r * res[:, None], dplan.res_col,
+            num_segments=n_cblocks * bw)
+        return out[:N]
+
+    return fn
+
+
+def make_diff_sddmm_body(plan: TilePlan, body: Callable) -> Callable:
+    """Wrap a ``make_sddmm_body(..., emit="rphm")`` callable with a custom
+    VJP so models can train through the Pallas kernels (pallas_call has no
+    autodiff rule). The backward pass is itself tile-native:
+
+        dA  = SpMM(dP, B^T)            (make_spmm_rphm)
+        dB^T = SpMM^T(dP, A)           (make_spmm_transpose_rphm)
+    """
+    spmm = make_spmm_rphm(plan)
+    spmm_t = make_spmm_transpose_rphm(plan)
+    nnz = plan.nnz
+
+    @jax.custom_vjp
+    def diff_body(A, Bt, dplan):
+        return body(A, Bt, dplan)
+
+    def fwd(A, Bt, dplan):
+        return body(A, Bt, dplan), (A, Bt, dplan)
+
+    def bwd(residuals, cotangents):
+        A, Bt, dplan = residuals
+        d_dense, d_gath, d_res = cotangents
+        dA = spmm(d_dense, d_gath, d_res, Bt, dplan)
+        dBt = spmm_t(d_dense, d_gath, d_res, A, dplan)
+        zero = jax.tree.map(
+            lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), dplan)
+        return dA, dBt, zero
+
+    diff_body.defvjp(fwd, bwd)
+    return diff_body
+
+
 def make_sparse_attention_rphm(plan: TilePlan, body: Callable
                                ) -> Callable:
     """Fused tile-native attention head: ``fn(q, k, v, dplan) -> (M, F)``
     = SpMM(softmax(SDDMM(q, k) / sqrt(dk)), v), never leaving the rphm
-    layout. ``body`` is a make_sddmm_body(..., emit="rphm") callable."""
+    layout and differentiable end to end (the SDDMM gets the tile-native
+    custom VJP; everything else is plain jax). ``body`` is a
+    make_sddmm_body(..., emit="rphm") callable."""
     softmax = make_edge_softmax_rphm(plan)
     spmm = make_spmm_rphm(plan)
+    diff_body = make_diff_sddmm_body(plan, body)
     inv_sqrt = 1.0 / np.sqrt(plan.k)
 
     def fn(q: jax.Array, kk: jax.Array, v: jax.Array,
            dplan: DevicePlan) -> jax.Array:
-        d, g, r = body(q, kk, dplan)
+        d, g, r = diff_body(q, kk, dplan)
         d, g, r = softmax(d * inv_sqrt, g * inv_sqrt, r * inv_sqrt, dplan)
         return spmm(d, g, r, v, dplan)
 

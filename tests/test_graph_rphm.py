@@ -110,3 +110,40 @@ def test_spmm_rphm_empty_rows():
     V = make_dense(csr.cols, 8, seed=1)
     out = np.asarray(make_spmm_rphm(plan)(d, g, r, jnp.asarray(V), dplan))
     np.testing.assert_array_equal(out[empty], 0.0)
+
+
+def test_diff_sddmm_gradients_match_xla():
+    """The custom VJP's gradients must match autodiff through the plain
+    XLA body (which IS differentiable)."""
+    from bsmr_sddmm_tpu.ops.graph_rphm import make_diff_sddmm_body
+    csr, cfg, plan = _setup()
+    dplan = device_plan(plan)
+    body = make_sddmm_body(plan, cfg, emit="rphm")  # xla on CPU
+    diff_body = make_diff_sddmm_body(plan, body)
+    rng = np.random.default_rng(5)
+    A = jnp.asarray(rng.normal(size=(csr.rows, cfg.k)), jnp.float32)
+    Bt = jnp.asarray(rng.normal(size=(csr.cols, cfg.k)), jnp.float32)
+    w = [jnp.asarray(rng.normal(size=x.shape), jnp.float32)
+         for x in jax.eval_shape(lambda a, b: body(a, b, dplan), A, Bt)]
+
+    def loss_custom(a, b):
+        d, g, r = diff_body(a, b, dplan)
+        return jnp.vdot(d, w[0]) + jnp.vdot(g, w[1]) + jnp.vdot(r, w[2])
+
+    def loss_plain(a, b):
+        d, g, r = body(a, b, dplan)
+        nnz = plan.nnz
+        d = jnp.where(dplan.tile_scatter < nnz, d, 0.0)
+        g = jnp.where(dplan.g_scatter < nnz, g, 0.0)
+        r = jnp.where(dplan.res_out < nnz, r, 0.0)
+        wd = jnp.where(dplan.tile_scatter < nnz, w[0], 0.0)
+        wg = jnp.where(dplan.g_scatter < nnz, w[1], 0.0)
+        wr = jnp.where(dplan.res_out < nnz, w[2], 0.0)
+        return jnp.vdot(d, wd) + jnp.vdot(g, wg) + jnp.vdot(r, wr)
+
+    gA, gB = jax.grad(loss_custom, argnums=(0, 1))(A, Bt)
+    gA0, gB0 = jax.grad(loss_plain, argnums=(0, 1))(A, Bt)
+    np.testing.assert_allclose(np.asarray(gA), np.asarray(gA0),
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(gB), np.asarray(gB0),
+                               rtol=3e-4, atol=3e-4)
