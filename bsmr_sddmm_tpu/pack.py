@@ -88,6 +88,8 @@ class TilePlan:
     rphm_to_csr: np.ndarray = None       # (nnz,) int32
 
     pack_time_ms: float = 0.0
+    # the delta this plan was packed with (from the column split)
+    delta_used: float = float("nan")
     # column mode: "bsr" tiles are natural column blocks (tile_cblock valid,
     # B reads contiguous); "reorder" tiles gather tile_cols per tile
     mode: str = "bsr"
@@ -500,6 +502,7 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         res_arow=res_arow, res_col=res_col, res_out=res_out,
         row_perm_padded=row_perm_padded,
         rphm_to_csr=rphm_to_csr,
+        delta_used=float(reord.delta),
         mode=mode, tile_cblock=tile_cblock,
         fat_group=fat_group, step_cblock=step_cblock,
         window_rows=window_rows, a_window_rows=a_window_rows,

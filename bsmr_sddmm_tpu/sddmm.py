@@ -42,11 +42,10 @@ class BsmrSddmm:
         self._row_cache: Dict[Tuple[float, str], BsmrReordering] = {}
         self._fn_cache: Dict[Tuple, object] = {}
 
-    def reorder(self, alpha: Optional[float] = None,
-                delta: Optional[float] = None) -> BsmrReordering:
+    def _row_reordering(self, alpha: Optional[float] = None
+                        ) -> BsmrReordering:
         cfg = self.config
         alpha = cfg.alpha if alpha is None else alpha
-        delta = cfg.delta if delta is None else delta
         key = (alpha, cfg.row_strategy)
         if key not in self._row_cache:
             if cfg.reorder_cache:
@@ -56,14 +55,29 @@ class BsmrSddmm:
             else:
                 self._row_cache[key] = row_reordering(
                     self.csr, alpha, cfg.replace(alpha=alpha))
-        base = self._row_cache[key]
+        return self._row_cache[key]
+
+    def reorder(self, alpha: Optional[float] = None,
+                delta: Optional[float] = None) -> BsmrReordering:
+        cfg = self.config
+        delta = cfg.delta if delta is None else delta
+        base = self._row_reordering(alpha)
         # column split is cheap; recompute per delta on a shallow copy
         reord = dataclasses.replace(base)
         return split_columns(self.csr, reord, cfg, delta=delta)
 
     def plan(self, alpha: Optional[float] = None,
-             delta: Optional[float] = None,
-             k: Optional[int] = None) -> TilePlan:
+             delta=None, k: Optional[int] = None) -> TilePlan:
+        """Pack a plan. ``delta="auto"`` picks the delta with the lowest
+        predicted kernel time from the measured tier cost model
+        (autotune.choose_delta) — the TPU answer to the reference's
+        on-hardware config sweep."""
+        if delta == "auto":
+            from bsmr_sddmm_tpu.autotune import choose_delta
+            base = self._row_reordering(alpha)
+            choice = choose_delta(self.csr, base, self.config,
+                                  k=k or self.config.k)
+            return choice.plan
         reord = self.reorder(alpha, delta)
         return pack_tiles(self.csr, reord, self.config,
                           k=k or self.config.k)
@@ -101,8 +115,13 @@ class BsmrSddmm:
         (src/sddmmKernel.cu:2561-2659 timing loop + Logger fields)."""
         cfg = self.config
         k = A.shape[1]
-        reord = self.reorder(alpha, delta)
-        plan = pack_tiles(self.csr, reord, cfg, k=k)
+        if delta == "auto":
+            plan = self.plan(alpha, "auto", k=k)
+            delta = plan.delta_used
+            reord = self._row_reordering(alpha)
+        else:
+            reord = self.reorder(alpha, delta)
+            plan = pack_tiles(self.csr, reord, cfg, k=k)
         dplan = device_plan(plan)
         Bt = np.ascontiguousarray(B.T) if B.shape[0] == k else B
         A_dev, Bt_dev = jnp.asarray(A), jnp.asarray(Bt)

@@ -241,3 +241,26 @@ def test_reorder_cache_roundtrip(tmp_path, monkeypatch):
     r3 = cache.cached_row_reordering(csr, 0.5, cfg)
     assert r3.num_clusters != 0
     assert len(list(tmp_path.glob("*.npz"))) == 2
+
+
+def test_auto_delta_choice():
+    """delta='auto' picks the cost-model argmin and runs correctly."""
+    from bsmr_sddmm_tpu.autotune import (DELTA_CANDIDATES, choose_delta,
+                                         estimate_plan_ms)
+    from bsmr_sddmm_tpu.config import SddmmConfig
+    from bsmr_sddmm_tpu.sddmm import BsmrSddmm
+    csr = random_mask(1024, 1024, 40000, seed=19, block_rows=32,
+                      block_cols=128, block_fill=0.9)
+    cfg = SddmmConfig(k=32, panel_height=16)
+    pipe = BsmrSddmm(csr, cfg)
+    base = pipe._row_reordering(0.3)
+    choice = choose_delta(csr, base, cfg)
+    assert choice.delta in DELTA_CANDIDATES
+    assert choice.estimated_ms == min(choice.candidates.values())
+    assert choice.plan.delta_used == choice.delta
+    # the pipeline runs with it and validates
+    A, B = make_ab(csr, cfg.k)
+    log = pipe.benchmark(A, B, delta="auto", validate=True,
+                         file="auto.mtx")
+    assert log.check_result == "pass"
+    assert log.delta == choice.delta
