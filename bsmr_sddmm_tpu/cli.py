@@ -42,6 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reorder-cache", action="store_true",
                    help="cache row reorderings on disk (resume sweeps "
                         "without re-clustering)")
+    p.add_argument("--evaluate", action="store_true",
+                   help="append reordered-vs-original tiling statistics "
+                        "to the log (reference evaluationReordering)")
+    p.add_argument("--auto-delta", action="store_true",
+                   help="pick delta per matrix from the measured cost "
+                        "model instead of -d")
     return p
 
 
@@ -81,8 +87,15 @@ def main(argv=None) -> int:
     if not args.test_mode:
         A = make_dense(csr.rows, args.k, seed=1337)
         B = make_dense(args.k, csr.cols, seed=1338)
-        log = pipe.benchmark(A, B, validate=args.validate, file=name)
-        emit(log, f"BSMR_k_{args.k}_a_{args.alpha}_d_{args.delta}")
+        delta = "auto" if args.auto_delta else None
+        log = pipe.benchmark(A, B, delta=delta, validate=args.validate,
+                             file=name)
+        if args.evaluate:
+            from bsmr_sddmm_tpu.evaluate import evaluate_reordering
+            ev = evaluate_reordering(csr, cfg.replace(delta=log.delta))
+            log.extras.update(ev.as_extras())
+        tag_d = "auto" if args.auto_delta else args.delta
+        emit(log, f"BSMR_k_{args.k}_a_{args.alpha}_d_{tag_d}")
         return 0 if (not args.validate or log.check_result == "pass") else 1
 
     # test mode: sweep alpha x delta x K, row reordering reused per alpha
