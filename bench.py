@@ -28,8 +28,9 @@ ALPHAS = (0.3,)
 # TPU break-even: a zero-gather BSR tile costs ~130 ns on v5e vs ~5.3 ns
 # per per-nnz residual entry, so a (panel, cblock) pair is worth tiling
 # from ~24 nonzeros = delta ~0.006 at 32x128 — far below the GPU
-# reference's 0.3 sweet spot. Sweep the TPU regime.
-DELTAS = (0.006, 0.05, 0.3)
+# reference's 0.3 sweet spot (measured: 0.02 beats 0.3 by 2-3x on every
+# structured regime). Sweep the TPU regime.
+DELTAS = (0.006, 0.02, 0.05)
 BASELINE_GEOMEAN_GFLOPS = 2927.0  # reference K=128, RTX 4090
 
 SUITE = None  # bsmr_sddmm_tpu.datasets.SUITE, imported in main()
