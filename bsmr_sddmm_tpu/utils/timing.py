@@ -104,7 +104,10 @@ def time_jitted(fn: Callable, *args, iterations: int = 10,
     out_bytes = max(nbytes(result), 1)
     in_bytes = max(nbytes(args), 1)
     # queue depth cap: outputs of enqueued calls reserve device memory
-    n_cap = int(max(8, min(256, (2 << 30) // out_bytes)))
+    # (6 GB of a v5e's 16 GB HBM; too low a cap limits the batch below
+    # the round-trip jitter and produces 2-3x run-to-run variance on
+    # sub-ms kernels with large outputs)
+    n_cap = int(max(8, min(512, (6 << 30) // out_bytes)))
     pool_n = int(max(4, min(16, (1 << 30) // in_bytes)))
     pool = [_perturbed(args, warmup + i) for i in range(pool_n)]
     force(pool[-1])
