@@ -147,3 +147,21 @@ def test_diff_sddmm_gradients_match_xla():
                                rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(gB), np.asarray(gB0),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_public_spmm_matches_scipy():
+    """ops.spmm: S @ V with real CSR values vs scipy."""
+    import scipy.sparse as sp
+    from bsmr_sddmm_tpu.ops import spmm as spmm_mod
+    csr, cfg, plan = _setup()
+    # give the mask non-trivial values
+    rng = np.random.default_rng(11)
+    csr.values[:] = rng.normal(size=csr.nnz).astype(np.float32)
+    # re-pack so nothing depends on values (it should not: plan is
+    # pattern-only; pack_values_rphm carries the values)
+    V = make_dense(csr.cols, 24, seed=2)
+    got = spmm_mod.spmm(csr, plan, V)
+    S = sp.csr_matrix((csr.values, csr.col_indices, csr.row_offsets),
+                      shape=(csr.rows, csr.cols))
+    want = S @ V
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
