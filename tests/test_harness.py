@@ -264,3 +264,28 @@ def test_auto_delta_choice():
                          file="auto.mtx")
     assert log.check_result == "pass"
     assert log.delta == choice.delta
+
+
+def test_cli_test_mode_sweep(tmp_path, monkeypatch):
+    """CLI -t runs the alpha x delta x K grid with reference log naming
+    (src/sddmm.cu:62-118); trimmed grids keep the smoke test fast."""
+    import bsmr_sddmm_tpu.cli as cli
+    monkeypatch.setattr(cli, "main", cli.main)
+    import bsmr_sddmm_tpu.config as cfgmod
+    monkeypatch.setattr(cfgmod, "SWEEP_ALPHAS", (0.3,))
+    monkeypatch.setattr(cfgmod, "SWEEP_DELTAS", (0.05, 1.1))
+    monkeypatch.setattr(cfgmod, "SWEEP_KS", (16,))
+    csr = random_mask(128, 128, 1500, seed=23, block_rows=16,
+                      block_cols=32)
+    mtx = tmp_path / "t.mtx"
+    save_mtx(str(mtx), csr)
+    logdir = tmp_path / "logs"
+    rc = cli.main(["-f", str(mtx), "-t", "-l", str(logdir),
+                   "--panel-height", "16", "--iterations", "2"])
+    assert rc == 0
+    names = sorted(os.listdir(logdir))
+    assert names == ["BSMR_k_16_a_0.3_d_0.05.log",
+                     "BSMR_k_16_a_0.3_d_1.1.log"]
+    from bsmr_sddmm_tpu.utils.logger import parse_log_text
+    recs = parse_log_text(open(logdir / names[0]).read())
+    assert recs and recs[0]["K"] == "16"
