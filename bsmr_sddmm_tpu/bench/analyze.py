@@ -95,7 +95,14 @@ def record_to_result(rec: Dict[str, str]) -> Optional[MatrixResult]:
     )
 
 
-_BASELINE_KEYS = {"dense_masked", "bcoo", "gather_dot"}
+def _baseline_keys() -> set:
+    """Baseline method names, data-driven from the baselines registry so
+    adding a baseline never misclassifies its records as "bsmr"."""
+    from bsmr_sddmm_tpu.baselines import _FACTORIES
+    return set(_FACTORIES)
+
+
+_BASELINE_KEYS = _baseline_keys()
 
 
 def parse_log_files(paths: Iterable[str]) -> List[MatrixResult]:

@@ -66,14 +66,13 @@ class SddmmConfig:
     # --- reordering strategy ----------------------------------------------
     # "exact"  : faithful greedy accumulate-encoding clustering
     #            (src/rowReordering.cu:325-432 semantics), sequential host.
-    # "fast"   : batched greedy (multiple cluster representatives per round,
-    #            vectorized over remaining rows) — same alpha semantics,
-    #            near-identical clusters, orders of magnitude faster.
+    # "fast"   : greedy with one representative per round but the
+    #            similarity scan vectorized over all remaining rows (and
+    #            candidate-pruned) — same alpha semantics, near-identical
+    #            clusters, orders of magnitude faster.
     # "none"   : identity ordering (reference noReorderRow,
     #            src/rowReordering.cu:15-46).
     row_strategy: str = "fast"
-    # Batch of cluster representatives per vectorized round ("fast" only).
-    cluster_batch: int = 64
     # Use the C++/OpenMP clustering (bsmr_sddmm_tpu.native) when it can be
     # built; same semantics as the NumPy strategies, ~100x faster.
     use_native: bool = True
@@ -106,6 +105,13 @@ class SddmmConfig:
     # gather_window_mb-sized slice of B. 0 disables.
     gather_window_mb: int = 16
     gather_window_threshold_mb: int = 64
+    # Cap on window groups per side per tier. Each (window, chunk) pair
+    # unrolls into its own slice+gather+matmul in the XLA program, so an
+    # unbounded window count on huge-N matrices would explode compile
+    # time; when N implies more windows than this, the window grows to
+    # N/max_gather_groups instead (a gradual gather-rate penalty beats an
+    # op-count explosion).
+    max_gather_groups: int = 48
 
     # Max dense tiles fused per grid step in bsr mode ("fat steps"): G
     # same-column-block tiles share one B DMA and one (G*ph, bw) MXU

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bsmr_sddmm_tpu.ops.sddmm import DevicePlan
+from bsmr_sddmm_tpu.ops.sddmm import _PRECISION, DevicePlan
 from bsmr_sddmm_tpu.pack import TilePlan
 
 _NEG = -1e30  # mask value; avoids inf-inf NaNs in empty rows
@@ -90,12 +90,15 @@ def make_edge_softmax_rphm(plan: TilePlan) -> Callable:
     return fn
 
 
-def make_spmm_rphm(plan: TilePlan) -> Callable:
+def make_spmm_rphm(plan: TilePlan, precision: str = "high") -> Callable:
     """Build ``fn(dense, gathered, res, V, dplan) -> (M, F)``:
     ``out[r] = sum_e vals[e] * V[col[e]]`` with values in rphm layout and
     the output in ORIGINAL row order.
 
-    Dense tier: per-tile (ph, bw) @ contiguous V block (MXU, zero gather).
+    Dense tier: per-tile (ph, bw) @ contiguous V block (MXU, zero gather)
+    in bsr mode; in reorder mode (column-permuted plans, tile_cblock is
+    None) the tile's V rows are gathered per tile column from
+    ``plan.tile_cols`` — same path the gathered tier uses.
     Gathered tier: per-tile (ph, bw) @ take(V, tile cols).
     Residual: per-entry gather + segment sum (small by construction).
     """
@@ -106,10 +109,14 @@ def make_spmm_rphm(plan: TilePlan) -> Callable:
     N = plan.cols
     n_cblocks = -(-N // bw)
     M = plan.rows
-    # per-tile cblock (fat plans store per-step ids in dplan.tile_src)
-    tile_cblock = jnp.asarray(
-        plan.tile_cblock if plan.tile_cblock is not None
-        else np.zeros(plan.tile_panel.shape[0], np.int32))
+    prec = _PRECISION[precision]
+    bsr_mode = plan.tile_cblock is not None
+    # per-tile cblock (fat plans store per-step ids in dplan.tile_src);
+    # reorder-mode plans instead carry per-tile column ids in tile_cols
+    tile_cblock = (jnp.asarray(plan.tile_cblock) if bsr_mode
+                   else None)
+    tile_cols = None if bsr_mode else jnp.asarray(
+        np.minimum(plan.tile_cols, max(N - 1, 0)))
     # original-row gather positions: row r sits at position inv_pos[r] of
     # the permuted layout; rows absent from the permutation read the last
     # (padded, zero-contribution) position
@@ -134,10 +141,16 @@ def make_spmm_rphm(plan: TilePlan) -> Callable:
                      ((0, n_cblocks * bw - N), (0, 0)))
         V_blocks = Vp.reshape(n_cblocks, bw, F)
 
-        # dense tier: (T, ph, bw) @ (T, bw, F) with contiguous V blocks
-        vb = jnp.take(V_blocks, tile_cblock, axis=0)
+        if bsr_mode:
+            # dense tier: (T, ph, bw) @ (T, bw, F), contiguous V blocks
+            vb = jnp.take(V_blocks, tile_cblock, axis=0)
+        else:
+            # reorder mode: per-tile column gather from tile_cols
+            vb = jnp.take(Vp, tile_cols.reshape(-1), axis=0) \
+                .reshape(-1, bw, F)
         d_part = jax.lax.dot_general(
             dense, vb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=prec,
             preferred_element_type=jnp.float32)       # (T, ph, F)
         out = jax.ops.segment_sum(d_part, dplan.tile_panel,
                                   num_segments=P)     # (P, ph, F)
@@ -147,6 +160,7 @@ def make_spmm_rphm(plan: TilePlan) -> Callable:
             .reshape(-1, bw, F)
         g_part = jax.lax.dot_general(
             gathered, vg, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=prec,
             preferred_element_type=jnp.float32)
         out = out + jax.ops.segment_sum(g_part, dplan.g_panel,
                                         num_segments=P)
@@ -166,21 +180,27 @@ def make_spmm_rphm(plan: TilePlan) -> Callable:
     return fn
 
 
-def make_spmm_transpose_rphm(plan: TilePlan) -> Callable:
+def make_spmm_transpose_rphm(plan: TilePlan,
+                             precision: str = "high") -> Callable:
     """Build ``fn(dense, gathered, res, A_full, dplan) -> (N, F)``:
     the column-side aggregation ``out[c] = sum_e vals[e] * A[row_e]`` —
     the transpose counterpart of :func:`make_spmm_rphm`, needed for the
     SDDMM backward pass (dB^T). Dense tier: per-tile (bw, ph) @ A panel on
-    the MXU, segment-summed by column block (contiguous landing); gathered
-    tier scatter-adds per tile column; residual per entry."""
+    the MXU, segment-summed by column block (contiguous landing) in bsr
+    mode, scatter-added per tile column (``plan.tile_cols``) in reorder
+    mode; gathered tier scatter-adds per tile column; residual per
+    entry."""
     P = max(plan.num_panels, 1)
     ph, bw = plan.panel_height, plan.block_width
     nnz = plan.nnz
     N = plan.cols
     n_cblocks = -(-N // bw)
-    tile_cblock = jnp.asarray(
-        plan.tile_cblock if plan.tile_cblock is not None
-        else np.zeros(plan.tile_panel.shape[0], np.int32))
+    prec = _PRECISION[precision]
+    bsr_mode = plan.tile_cblock is not None
+    tile_cblock = (jnp.asarray(plan.tile_cblock) if bsr_mode
+                   else None)
+    tile_cols = None if bsr_mode else jnp.asarray(
+        np.minimum(plan.tile_cols, max(N - 1, 0)))
 
     def fn(dense: jax.Array, gathered: jax.Array, res: jax.Array,
            A_full: jax.Array, dplan: DevicePlan) -> jax.Array:
@@ -196,15 +216,24 @@ def make_spmm_transpose_rphm(plan: TilePlan) -> Callable:
         a_t = jnp.take(A_panels, dplan.tile_panel, axis=0)  # (T, ph, F)
         d_part = jax.lax.dot_general(
             dense, a_t, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            precision=prec,
             preferred_element_type=jnp.float32)             # (T, bw, F)
-        out_blocks = jax.ops.segment_sum(
-            d_part, tile_cblock, num_segments=n_cblocks)    # (C, bw, F)
-        out = out_blocks.reshape(n_cblocks * bw, F)
+        if bsr_mode:
+            out_blocks = jax.ops.segment_sum(
+                d_part, tile_cblock, num_segments=n_cblocks)  # (C, bw, F)
+            out = out_blocks.reshape(n_cblocks * bw, F)
+        else:
+            # reorder mode: the tile's columns are arbitrary — scatter-add
+            # each tile column at its true id
+            out = jax.ops.segment_sum(
+                d_part.reshape(-1, F), tile_cols.reshape(-1),
+                num_segments=n_cblocks * bw)
 
         # gathered tier: scatter-add per tile column
         a_g = jnp.take(A_panels, dplan.g_panel, axis=0)     # (Tg, ph, F)
         g_part = jax.lax.dot_general(
             gathered, a_g, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            precision=prec,
             preferred_element_type=jnp.float32)             # (Tg, bw, F)
         out = out + jax.ops.segment_sum(
             g_part.reshape(-1, F), dplan.g_cols.reshape(-1),
@@ -220,7 +249,8 @@ def make_spmm_transpose_rphm(plan: TilePlan) -> Callable:
     return fn
 
 
-def make_diff_sddmm_body(plan: TilePlan, body: Callable) -> Callable:
+def make_diff_sddmm_body(plan: TilePlan, body: Callable,
+                         precision: str = "high") -> Callable:
     """Wrap a ``make_sddmm_body(..., emit="rphm")`` callable with a custom
     VJP so models can train through the Pallas kernels (pallas_call has no
     autodiff rule). The backward pass is itself tile-native:
@@ -228,8 +258,8 @@ def make_diff_sddmm_body(plan: TilePlan, body: Callable) -> Callable:
         dA  = SpMM(dP, B^T)            (make_spmm_rphm)
         dB^T = SpMM^T(dP, A)           (make_spmm_transpose_rphm)
     """
-    spmm = make_spmm_rphm(plan)
-    spmm_t = make_spmm_transpose_rphm(plan)
+    spmm = make_spmm_rphm(plan, precision)
+    spmm_t = make_spmm_transpose_rphm(plan, precision)
     nnz = plan.nnz
 
     @jax.custom_vjp
@@ -252,16 +282,16 @@ def make_diff_sddmm_body(plan: TilePlan, body: Callable) -> Callable:
     return diff_body
 
 
-def make_sparse_attention_rphm(plan: TilePlan, body: Callable
-                               ) -> Callable:
+def make_sparse_attention_rphm(plan: TilePlan, body: Callable,
+                               precision: str = "high") -> Callable:
     """Fused tile-native attention head: ``fn(q, k, v, dplan) -> (M, F)``
     = SpMM(softmax(SDDMM(q, k) / sqrt(dk)), v), never leaving the rphm
     layout and differentiable end to end (the SDDMM gets the tile-native
     custom VJP; everything else is plain jax). ``body`` is a
     make_sddmm_body(..., emit="rphm") callable."""
     softmax = make_edge_softmax_rphm(plan)
-    spmm = make_spmm_rphm(plan)
-    diff_body = make_diff_sddmm_body(plan, body)
+    spmm = make_spmm_rphm(plan, precision)
+    diff_body = make_diff_sddmm_body(plan, body, precision)
     inv_sqrt = 1.0 / np.sqrt(plan.k)
 
     def fn(q: jax.Array, kk: jax.Array, v: jax.Array,

@@ -421,11 +421,22 @@ def make_batched_sddmm_fn(plan: TilePlan, config: SddmmConfig,
     the batch over grid.z): ``fn(A (Z, M, K), Bt (Z, N, K), dplan)``.
 
     The TilePlan (mask structure) is shared across the batch — the
-    reference's batch semantics — so this is a plain vmap of the body; XLA
-    turns the per-tile matmuls into batched MXU contractions."""
+    reference's batch semantics. On the XLA backend this is a plain vmap
+    of the body (XLA turns the per-tile matmuls into batched MXU
+    contractions). On the pallas backend vmap would insert a batch
+    dimension into the kernels' BlockSpecs, which Mosaic rejects, so the
+    batch runs as a ``lax.map`` (scan) over the leading axis — one
+    compiled kernel, Z sequential launches."""
+    resolved = resolve_backend(config.backend if backend is None
+                               else backend)
     body = make_sddmm_body(plan, config, backend, emit=emit)
     nnz = plan.nnz
-    mapped = jax.vmap(body, in_axes=(0, 0, None))
+    if resolved == "pallas":
+        def mapped(A, Bt, dplan):
+            return jax.lax.map(lambda ab: body(ab[0], ab[1], dplan),
+                               (A, Bt))
+    else:
+        mapped = jax.vmap(body, in_axes=(0, 0, None))
     if emit in ("rphm", "csr"):
         return jax.jit(mapped)
 

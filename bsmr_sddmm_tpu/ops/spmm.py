@@ -34,11 +34,13 @@ def pack_values_rphm(plan: TilePlan, values: np.ndarray
     return dense, gathered, res
 
 
-def make_spmm_fn(plan: TilePlan) -> Callable:
+def make_spmm_fn(plan: TilePlan, precision: str = "high") -> Callable:
     """Build jitted ``fn(dense, gathered, res, V, dplan) -> (M, F)`` —
     the tile-layout SpMM (values from :func:`pack_values_rphm` or a
-    previous SDDMM/softmax in rphm layout)."""
-    return jax.jit(make_spmm_rphm(plan))
+    previous SDDMM/softmax in rphm layout). ``precision`` follows
+    SddmmConfig.matmul_precision semantics (default "high" = the 3-pass
+    bf16 decomposition, TF32-class; passes the rel-1e-3 check)."""
+    return jax.jit(make_spmm_rphm(plan, precision))
 
 
 def spmm(csr: CSR, plan: TilePlan, V: np.ndarray) -> np.ndarray:

@@ -258,6 +258,9 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     if (config.gather_window_mb
             and N * k * 4 > (config.gather_window_threshold_mb << 20)):
         wr = max((config.gather_window_mb << 20) // (k * 4), bw)
+        # bound the number of windows (each becomes its own unrolled
+        # slice+gather+matmul group in the program)
+        wr = max(wr, -(-N // max(config.max_gather_groups, 1)))
         if N > 2 * wr:
             window_rows = wr
 
@@ -369,6 +372,7 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     if (config.gather_window_mb
             and a_rows * k * 4 > (config.gather_window_threshold_mb << 20)):
         awr = max((config.gather_window_mb << 20) // (k * 4), ph)
+        awr = max(awr, -(-a_rows // max(config.max_gather_groups, 1)))
         if a_rows > 2 * awr:
             a_window_rows = awr
 
@@ -391,6 +395,13 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
                  np.zeros(num_residual0, np.int64))
         b_grp = (res_col[:num_residual0].astype(np.int64) // window_rows
                  if window_rows else np.zeros(num_residual0, np.int64))
+        # residual groups are (A-window, B-window) PAIRS; if the cross
+        # product explodes past the op-count budget, drop the A-side
+        # windowing (B-side matters more: B is the bigger gather operand)
+        n_pairs = np.unique(a_grp * (int(b_grp.max()) + 1) + b_grp).size
+        if n_pairs > 2 * max(config.max_gather_groups, 1):
+            a_window_rows = None
+            a_grp = np.zeros(num_residual0, np.int64)
         nbg = int(b_grp.max()) + 1 if num_residual0 else 1
         key = a_grp * nbg + b_grp
         order = np.argsort(key, kind="stable")

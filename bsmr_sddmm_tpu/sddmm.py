@@ -84,10 +84,20 @@ class BsmrSddmm:
 
     def compile(self, plan: TilePlan, backend: Optional[str] = None,
                 emit: str = "csr"):
+        # the cache key must cover EVERY plan attribute make_sddmm_body
+        # bakes in as a static: two sweep deltas can bucket to identical
+        # shapes yet differ in fat grouping, window-group boundaries, or
+        # real-tile tails — running one plan's dplan through the other's
+        # compiled body would be silently wrong.
         key = (plan.tile_panel.shape, plan.g_panel.shape,
                plan.res_arow.shape, plan.num_panels,
                plan.k, plan.nnz, plan.mode, emit,
-               backend or self.config.backend)
+               backend or self.config.backend,
+               plan.fat_group, plan.window_rows, plan.a_window_rows,
+               plan.num_gathered, plan.num_residual,
+               tuple(plan.g_groups) if plan.g_groups is not None else None,
+               tuple(plan.res_groups)
+               if plan.res_groups is not None else None)
         if key not in self._fn_cache:
             self._fn_cache[key] = make_sddmm_fn(plan, self.config, backend,
                                                 emit=emit)

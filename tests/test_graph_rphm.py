@@ -19,11 +19,12 @@ from bsmr_sddmm_tpu.reorder import bsmr
 from tests.conftest import make_ab
 
 
-def _setup(delta=0.05, rows=512, cols=768, nnz=20000, seed=7):
+def _setup(delta=0.05, rows=512, cols=768, nnz=20000, seed=7,
+           col_mode="bsr"):
     csr = random_mask(rows=rows, cols=cols, nnz=nnz, seed=seed,
                       block_rows=24, block_cols=96)
     cfg = SddmmConfig(k=32, panel_height=16, dense_chunk=16,
-                      residual_chunk=2048, delta=delta)
+                      residual_chunk=2048, delta=delta, col_mode=col_mode)
     reord = bsmr(csr, cfg)
     plan = pack_tiles(csr, reord, cfg)
     return csr, cfg, plan
@@ -147,6 +148,44 @@ def test_diff_sddmm_gradients_match_xla():
                                rtol=3e-4, atol=3e-4)
     np.testing.assert_allclose(np.asarray(gB), np.asarray(gB0),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_spmm_rphm_reorder_mode_matches_scipy():
+    """Column-permuted (reorder-mode) plans have no tile_cblock: the dense
+    tier must gather V rows from tile_cols instead of substituting block 0
+    (round-1 advisor finding: max abs err 36 vs scipy before the fix)."""
+    import scipy.sparse as sp
+    from bsmr_sddmm_tpu.ops import spmm as spmm_mod
+    csr, cfg, plan = _setup(delta=0.3, col_mode="reorder")
+    assert plan.tile_cblock is None and plan.num_tiles > 0
+    rng = np.random.default_rng(13)
+    csr.values[:] = rng.normal(size=csr.nnz).astype(np.float32)
+    V = make_dense(csr.cols, 24, seed=21)
+    got = spmm_mod.spmm(csr, plan, V)
+    S = sp.csr_matrix((csr.values, csr.col_indices, csr.row_offsets),
+                      shape=(csr.rows, csr.cols))
+    np.testing.assert_allclose(got, S @ V, rtol=2e-4, atol=2e-4)
+
+
+def test_spmm_transpose_rphm_reorder_mode_matches_scipy():
+    """S^T aggregation in reorder mode must scatter-add dense-tile columns
+    at their true (permuted) ids."""
+    import scipy.sparse as sp
+    from bsmr_sddmm_tpu.ops.graph_rphm import make_spmm_transpose_rphm
+    from bsmr_sddmm_tpu.ops.spmm import pack_values_rphm
+    csr, cfg, plan = _setup(delta=0.3, col_mode="reorder")
+    assert plan.tile_cblock is None and plan.num_tiles > 0
+    rng = np.random.default_rng(17)
+    vals = rng.normal(size=csr.nnz).astype(np.float32)
+    d, g, r = pack_values_rphm(plan, vals)
+    A = make_dense(csr.rows, 16, seed=23)
+    dplan = device_plan(plan)
+    fn = jax.jit(make_spmm_transpose_rphm(plan))
+    got = np.asarray(fn(jnp.asarray(d), jnp.asarray(g), jnp.asarray(r),
+                        jnp.asarray(A), dplan))
+    S = sp.csr_matrix((vals, csr.col_indices, csr.row_offsets),
+                      shape=(csr.rows, csr.cols))
+    np.testing.assert_allclose(got, S.T @ A, rtol=2e-4, atol=2e-4)
 
 
 def test_public_spmm_matches_scipy():

@@ -136,3 +136,37 @@ def test_bucket_size():
         if n >= 64:  # relative waste bound only meaningful past the granule
             assert (b - n) / n <= 0.13
     assert bucket_size(100, enabled=False) == 100
+
+
+def test_window_group_cap_bounds_op_count():
+    """Huge-N masks must not explode the XLA program: window-group count
+    is capped (config.max_gather_groups) by growing the window, and the
+    traced body stays under a fixed op budget."""
+    import jax
+    import jax.numpy as jnp
+    from bsmr_sddmm_tpu.ops.sddmm import device_plan, make_sddmm_body
+
+    N = 300_000
+    rows = 4096
+    cfg = SddmmConfig(k=128, panel_height=32, row_strategy="none",
+                      max_gather_groups=4, gather_window_mb=1,
+                      gather_window_threshold_mb=8)
+    csr = random_mask(rows=rows, cols=N, nnz=200_000, seed=5)
+    reord, plan = _plan(csr, cfg)
+    _check_bijection(csr, plan)
+    # a 1 MB window on a 300k-col operand would be ~147 windows; the cap
+    # must force the window up so at most max_gather_groups remain
+    if plan.window_rows is not None:
+        assert -(-N // plan.window_rows) <= cfg.max_gather_groups
+        if plan.g_groups is not None:
+            assert len(plan.g_groups) <= cfg.max_gather_groups
+    if plan.res_groups is not None:
+        assert len(plan.res_groups) <= 2 * cfg.max_gather_groups
+
+    body = make_sddmm_body(plan, cfg, emit="rphm")
+    dplan = device_plan(plan)
+    jaxpr = jax.make_jaxpr(body)(
+        jnp.zeros((rows, 128), jnp.float32),
+        jnp.zeros((N, 128), jnp.float32), dplan)
+    n_eqns = len(jaxpr.jaxpr.eqns)
+    assert n_eqns < 2000, f"body traced to {n_eqns} eqns"
