@@ -33,9 +33,31 @@ V5E_COSTS = dict(
     pernnz_ns=5.3,            # two row gathers + VPU reduce
     pernnz_big_ns=9.0,        # big-operand windowed tail
     fixed_us=150.0,           # dispatch / A-permute / padding floor
+    mxu_tflops=55.0,          # bf16x3 effective fp32-class matmul rate
+    stream_gbps=645.0,        # contiguous HBM read+write
+    elem_gather_meps=140.0,   # 4-byte element gather (M elem/s)
+    # element gather out of the just-written row-major (M, N) product:
+    # CSR-ordered indices are row-major sorted, so this gather runs well
+    # above the random-element rate (round-1 evidence: the masked-dense
+    # strategy hit 135 GFLOPS on uniform_10k where 140 M elem/s would cap
+    # it near 64). Recalibrated on first hardware use (calibrate()).
+    masked_gather_meps=420.0,
 )
 
 DELTA_CANDIDATES = (0.006, 0.02, 0.05, 0.15, 0.3)
+
+
+def estimate_dense_ms(rows: int, cols: int, nnz: int, k: int,
+                      costs: dict = V5E_COSTS) -> float:
+    """Predicted time for the dense-fallback tier: compute the full
+    (M, N) product in row blocks and gather the nnz mask entries.
+    Two bounds: MXU flops and HBM streaming of the (M, N) fp32 product
+    (written by the matmul, re-read by the gather); plus the per-element
+    gather of nnz values."""
+    flops_ms = 2.0 * rows * cols * k / (costs["mxu_tflops"] * 1e9)
+    bytes_ms = rows * cols * 4.0 * 2.0 / (costs["stream_gbps"] * 1e6)
+    gather_ms = nnz / (costs["masked_gather_meps"] * 1e3)
+    return max(flops_ms, bytes_ms) + gather_ms + costs["fixed_us"] / 1e3
 
 
 def estimate_plan_ms(plan: TilePlan,
@@ -58,15 +80,27 @@ class DeltaChoice:
     delta: float
     estimated_ms: float
     plan: TilePlan
-    candidates: dict  # delta -> estimated ms
+    candidates: dict  # delta -> estimated ms; key "dense" = fallback arm
+    use_dense: bool = False   # dense-fallback tier beats every tiled plan
 
 
 def choose_delta(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
                  candidates: Sequence[float] = DELTA_CANDIDATES,
-                 k: Optional[int] = None) -> DeltaChoice:
+                 k: Optional[int] = None,
+                 allow_dense: bool = True) -> DeltaChoice:
     """Pack each candidate delta (host-side only) and return the one with
-    the lowest predicted kernel time, along with its plan."""
+    the lowest predicted kernel time, along with its plan.
+
+    A fourth arm competes with every tiled plan: the dense-fallback tier
+    (masked full matmul). On near-uniform masks dense enough that the MXU
+    roofline beats descriptor-bound gathers, it wins — the reference's
+    hybrid-ablation insight (its TC-only column sometimes beats hybrid,
+    scripts/results_suiteSparse_dataset/k32/results_hybrid_32.csv) taken
+    to the matrix level. The (M, N) product streams in row blocks, so the
+    arm is only offered when a tile_m-row block of the product fits
+    comfortably (cols <= ~8M)."""
     import dataclasses as _dc
+    k_eff = config.k if k is None else k
     best: Optional[Tuple[float, float, TilePlan]] = None
     table = {}
     for d in candidates:
@@ -76,5 +110,14 @@ def choose_delta(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         table[d] = ms
         if best is None or ms < best[1]:
             best = (d, ms, plan)
+    use_dense = False
+    if allow_dense and csr.cols <= (1 << 23):
+        dense_ms = estimate_dense_ms(csr.rows, csr.cols, csr.nnz, k_eff)
+        table["dense"] = dense_ms
+        if dense_ms < best[1]:
+            use_dense = True
+            return DeltaChoice(delta=best[0], estimated_ms=dense_ms,
+                               plan=best[2], candidates=table,
+                               use_dense=True)
     return DeltaChoice(delta=best[0], estimated_ms=best[1], plan=best[2],
-                       candidates=table)
+                       candidates=table, use_dense=use_dense)

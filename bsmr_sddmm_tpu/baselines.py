@@ -41,18 +41,26 @@ def _round_up(n: int, m: int) -> int:
 
 
 def make_dense_masked_fn(csr: CSR, k: int,
-                         tile_m: int = 512) -> Callable:
+                         tile_m: int = 512,
+                         precision: str = "highest") -> Callable:
     """Full-matmul baseline: P = (A @ B)[rows, cols].
 
     The matmul runs in row blocks of ``tile_m`` via lax.map so peak live
     memory is ``tile_m * N`` floats rather than ``M * N`` (a 503-matrix
     suite includes M,N ~ 1e5-1e6; the full product would not fit HBM).
+
+    ``precision`` defaults to HIGHEST (true fp32) because the baseline
+    doubles as the accuracy ceiling; the framework's dense-fallback tier
+    builds the same fn with config.matmul_precision (bf16x3/HIGH) for
+    MXU-rate compute.
     """
+    from bsmr_sddmm_tpu.ops.sddmm import _PRECISION
     rows = jnp.asarray(csr.coo_rows())
     cols = jnp.asarray(csr.col_indices.astype(np.int32))
     M = _round_up(csr.rows, tile_m)
     num_blocks = M // tile_m
     nnz = csr.nnz
+    prec = _PRECISION[precision]
 
     def fn(A: jax.Array, Bt: jax.Array) -> jax.Array:
         A = A.astype(jnp.float32)
@@ -60,12 +68,10 @@ def make_dense_masked_fn(csr: CSR, k: int,
         blocks = Ap.reshape(num_blocks, tile_m, k)
 
         def block_prod(blk):
-            # HIGHEST = true fp32: this baseline is also the accuracy
-            # ceiling, so it must pass the reference tolerance itself
             return jax.lax.dot_general(
                 blk, Bt.astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
                 preferred_element_type=jnp.float32)   # (tile_m, N)
 
         P_full = jax.lax.map(block_prod, blocks).reshape(M, -1)

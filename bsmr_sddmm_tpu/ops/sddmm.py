@@ -86,20 +86,10 @@ def device_plan(plan: TilePlan) -> DevicePlan:
     )
 
 
-def _pad_to_multiple(x: jax.Array, mult: int, axis: int = 0,
-                     fill=0) -> jax.Array:
-    n = x.shape[axis]
-    target = -(-n // mult) * mult
-    if target == n:
-        return x
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, target - n)
-    return jnp.pad(x, pad, constant_values=fill)
-
-
 def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
                     backend: Optional[str] = None,
-                    emit: str = "csr") -> Callable:
+                    emit: str = "csr",
+                    only_tier: Optional[str] = None) -> Callable:
     """Build the un-jitted hybrid SDDMM body for one TilePlan shape bucket.
 
     ``fn(A, Bt, dplan)`` where A is (M, K) row-major, Bt is (N, K) — i.e.
@@ -117,19 +107,35 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
       trailing trash slot — slower, but non-owned slots become zeros,
       which is what the shard_map psum combine needs.
 
+    ``only_tier`` ("dense" | "gathered" | "residual") restricts the body
+    to a single tier's output (emit is ignored) — the measurement hook
+    behind the per-tier time split in RunLog (the reference's analogue is
+    the dense/sparse overlap-efficiency measurement,
+    src/sddmmKernel.cu:2834-2844).
+
     Shared by the single-chip jit and the shard_map multi-chip wrapper.
     """
     backend = resolve_backend(config.backend if backend is None else backend)
     if emit not in ("csr", "csr_scatter", "rphm"):
         raise ValueError(f"unknown emit {emit!r}")
+    if only_tier not in (None, "dense", "gathered", "residual"):
+        raise ValueError(f"unknown only_tier {only_tier!r}")
     ph, bw, k = plan.panel_height, plan.block_width, plan.k
     num_panels = max(plan.num_panels, 1)
     T = plan.tile_panel.shape[0]
     E = plan.res_arow.shape[0]
     nnz = plan.nnz
     precision = _PRECISION[config.matmul_precision]
-    dense_chunk = max(8, min(config.dense_chunk, T))
-    res_chunk = max(8, min(config.residual_chunk, E))
+    def _chunk_of(n: int, want: int) -> int:
+        """Largest chunk <= want that divides n exactly (plans from
+        pack.exec_size are already exact multiples; shard-local plans are
+        arbitrary slices, so fall back to the gcd)."""
+        import math
+        c = max(8, min(want, n))
+        return c if n % c == 0 else max(math.gcd(n, c), 1)
+
+    dense_chunk = _chunk_of(T, config.dense_chunk)
+    res_chunk = _chunk_of(E, config.residual_chunk)
 
     interpret = jax.default_backend() == "cpu"  # no Mosaic on CPU
     mode = plan.mode
@@ -157,14 +163,21 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
 
     n_cblocks = -(-plan.cols // bw)
 
+    budget_bytes = config.tier_memory_mb << 20
+
     def dense_out_fn(A_panels, Bt, dplan):
-        """Compute all dense tiles -> (T, ph, bw)."""
+        """Compute all dense tiles -> (T, ph, bw).
+
+        Plan counts are exact execution-chunk multiples (pack.exec_size),
+        so no runtime pad-then-slice copies happen anywhere here."""
         if backend == "pallas" and mode == "bsr":
-            # the Pallas grid is the loop; chunk only to bound live memory
-            pchunk = -(-max(dense_chunk, 4096) // G) * G
-            if T <= pchunk:
+            # the Pallas grid is the loop; the pipeline's live memory is
+            # one block per operand — chunk only when the OUTPUT exceeds
+            # the tier budget
+            if T * ph * bw * 4 <= max(budget_bytes, 1 << 28):
                 return dense_kernel(A_panels, Bt, dplan.tile_panel,
                                     dplan.tile_src)
+            pchunk = -(-max(dense_chunk, 4096) // G) * G
             parts = []
             for s in range(0, T, pchunk):
                 e = min(s + pchunk, T)
@@ -178,10 +191,8 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
             # XLA fat path: chunk over steps; one B-block gather + one
             # (C, G*ph, bw) batched matmul per chunk
             n_steps = T // G
-            step_chunk = max(8, min(dense_chunk, n_steps))
-            step_cb = _pad_to_multiple(dplan.tile_src, step_chunk)
-            tp = _pad_to_multiple(dplan.tile_panel, step_chunk * G)
-            S = step_cb.shape[0] // step_chunk
+            step_chunk = _chunk_of(n_steps, dense_chunk)
+            S = n_steps // step_chunk
             npad2 = n_cblocks * bw - plan.cols
             Bt_pad2 = jnp.pad(Bt, ((0, npad2), (0, 0))) if npad2 else Bt
             B_blocks2 = Bt_pad2.reshape(n_cblocks, bw, k)
@@ -197,18 +208,16 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
                     preferred_element_type=jnp.float32)  # (C, G*ph, bw)
                 return None, out
 
-            chunks = (step_cb.reshape(S, step_chunk),
-                      tp.reshape(S, step_chunk * G))
+            chunks = (dplan.tile_src.reshape(S, step_chunk),
+                      dplan.tile_panel.reshape(S, step_chunk * G))
             if S == 1:
                 out = fat_step(None, jax.tree.map(lambda x: x[0],
                                                   chunks))[1]
             else:
                 _, out = jax.lax.scan(fat_step, None, chunks)
-            return out.reshape(-1, ph, bw)[:T]
+            return out.reshape(T, ph, bw)
 
-        tile_panel = _pad_to_multiple(dplan.tile_panel, dense_chunk)
-        tile_src = _pad_to_multiple(dplan.tile_src, dense_chunk)
-        S = tile_panel.shape[0] // dense_chunk
+        S = T // dense_chunk
 
         if mode == "bsr":
             npad = n_cblocks * bw - plan.cols
@@ -221,7 +230,7 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         else:
             def gather_b(src_c):
                 b = jnp.take(Bt, src_c.reshape(-1), axis=0)
-                return b.reshape(dense_chunk, bw, k)
+                return b.reshape(-1, bw, k)
 
         if backend == "pallas":
             def matmul(b, panel_c):
@@ -235,20 +244,24 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
                     precision=precision,
                     preferred_element_type=jnp.float32)    # (C, ph, bw)
 
+        if backend != "pallas" and T * bw * k * 4 <= budget_bytes:
+            # single-shot: one gather + one batched matmul
+            return matmul(gather_b(dplan.tile_src), dplan.tile_panel)
+
         def dense_step(_, chunk):
             panel_c, src_c = chunk
             return None, matmul(gather_b(src_c), panel_c)
 
-        src_shape = ((S, dense_chunk) if tile_src.ndim == 1
+        src_shape = ((S, dense_chunk) if dplan.tile_src.ndim == 1
                      else (S, dense_chunk, bw))
-        chunks = (tile_panel.reshape(S, dense_chunk),
-                  tile_src.reshape(src_shape))
+        chunks = (dplan.tile_panel.reshape(S, dense_chunk),
+                  dplan.tile_src.reshape(src_shape))
         if S == 1:
             out = dense_step(None, jax.tree.map(lambda x: x[0], chunks))[1]
         else:
             _, out = jax.lax.scan(dense_step, None, chunks)
-            out = out.reshape(S * dense_chunk, ph, bw)
-        return out[:T]
+            out = out.reshape(T, ph, bw)
+        return out
 
     Tg = plan.g_panel.shape[0]
 
@@ -264,7 +277,7 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         bf16 blocks force Mosaic relayouts that cost more than the
         conversion traffic they save).
         """
-        g_chunk = max(8, min(dense_chunk, Tg))
+        g_chunk = _chunk_of(Tg, dense_chunk)
 
         def tiles_matmul(pc, cc, B_src):
             n_t = pc.shape[0]
@@ -294,22 +307,25 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
                 parts.append(jnp.zeros((tail, ph, bw), jnp.float32))
             return jnp.concatenate(parts, axis=0)
 
-        g_panel = _pad_to_multiple(dplan.g_panel, g_chunk)
-        g_cols = _pad_to_multiple(dplan.g_cols, g_chunk)
-        S = g_panel.shape[0] // g_chunk
+        if Tg * bw * k * 4 <= budget_bytes:
+            # single-shot: one row gather + one batched matmul (measured
+            # ~15-25% faster than the chunked scan on v5e)
+            return tiles_matmul(dplan.g_panel, dplan.g_cols, Bt)
+
+        S = Tg // g_chunk
 
         def g_step(_, chunk):
             pc, cc = chunk
             return None, tiles_matmul(pc, cc, Bt)
 
-        chunks = (g_panel.reshape(S, g_chunk),
-                  g_cols.reshape(S, g_chunk, bw))
+        chunks = (dplan.g_panel.reshape(S, g_chunk),
+                  dplan.g_cols.reshape(S, g_chunk, bw))
         if S == 1:
             out = g_step(None, jax.tree.map(lambda x: x[0], chunks))[1]
         else:
             _, out = jax.lax.scan(g_step, None, chunks)
-            out = out.reshape(S * g_chunk, ph, bw)
-        return out[:Tg]
+            out = out.reshape(Tg, ph, bw)
+        return out
 
     def res_vals_fn(A_perm, Bt, dplan):
         """Compute all residual values -> (E,)."""
@@ -345,29 +361,36 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
                 parts.append(jnp.zeros(tail, jnp.float32))
             return jnp.concatenate(parts)
 
-        res_arow = _pad_to_multiple(dplan.res_arow, res_chunk)
-        res_col = _pad_to_multiple(dplan.res_col, res_chunk)
-        SR = res_arow.shape[0] // res_chunk
+        if E * k * 4 * 2 <= budget_bytes:
+            return dots(dplan.res_arow, dplan.res_col, Bt)
+
+        SR = E // res_chunk
 
         def res_step(_, chunk):
             arow_c, col_c = chunk
             return None, dots(arow_c, col_c, Bt)
 
-        res_chunks = (res_arow.reshape(SR, res_chunk),
-                      res_col.reshape(SR, res_chunk))
+        res_chunks = (dplan.res_arow.reshape(SR, res_chunk),
+                      dplan.res_col.reshape(SR, res_chunk))
         if SR == 1:
             vals = res_step(None, jax.tree.map(lambda x: x[0],
                                                res_chunks))[1]
         else:
             _, vals = jax.lax.scan(res_step, None, res_chunks)
-            vals = vals.reshape(SR * res_chunk)
-        return vals[:E]
+            vals = vals.reshape(E)
+        return vals
 
     def fn(A: jax.Array, Bt: jax.Array, dplan: DevicePlan):
         A = A.astype(jnp.float32)
         Bt = Bt.astype(jnp.float32)
         A_perm = jnp.take(A, dplan.row_perm_padded, axis=0)  # (P*ph, K)
         A_panels = A_perm.reshape(num_panels, ph, k)
+        if only_tier == "dense":
+            return dense_out_fn(A_panels, Bt, dplan)
+        if only_tier == "gathered":
+            return gathered_out_fn(A_panels, Bt, dplan)
+        if only_tier == "residual":
+            return res_vals_fn(A_perm, Bt, dplan)
         dense_out = dense_out_fn(A_panels, Bt, dplan)
         gathered_out = gathered_out_fn(A_panels, Bt, dplan)
         res_vals = res_vals_fn(A_perm, Bt, dplan)

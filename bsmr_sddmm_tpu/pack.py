@@ -45,6 +45,19 @@ def bucket_size(n: int, enabled: bool = True, granule: int = 8) -> int:
     return -(-n // step) * step
 
 
+def exec_size(n: int, enabled: bool, chunk: int, granule: int = 8) -> int:
+    """Bucket ``n`` AND round up to an exact execution-chunk multiple.
+
+    The execution body processes arrays in ``chunk``-sized pieces; if the
+    padded count were not an exact multiple, the body would have to pad
+    and then slice ``[:n]`` — and a slice materializes a full copy of the
+    tier's output (measured ~0.3 ms on a 4.7k-tile plan, comparable to
+    the compute itself). Exact multiples make every slice a no-op."""
+    b = bucket_size(n, enabled, granule)
+    c = min(max(chunk, granule), b)
+    return -(-b // c) * c
+
+
 @dataclasses.dataclass
 class TilePlan:
     """Static-shaped packing of one (matrix, alpha, delta) configuration."""
@@ -209,7 +222,7 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         is_dense = np.zeros(entry_keys.shape[0], dtype=bool)
 
     # --- dense scatter map ------------------------------------------------
-    T = bucket_size(num_tiles0, config.bucket_shapes)
+    T = exec_size(num_tiles0, config.bucket_shapes, config.dense_chunk)
     tile_scatter = np.full((T, ph, bw), nnz, dtype=np.int32)
     if is_dense.any():
         hit_positions = dense_sort[pos_clipped[is_dense]]  # into dense_cols
@@ -304,7 +317,8 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
             # global gathered-tile id per kept chunk
             tile_of_chunk = np.full(keep_chunk.shape[0], -1, np.int64)
             tile_of_chunk[kept_chunks] = np.arange(num_gathered0)
-            Tg = bucket_size(num_gathered0, config.bucket_shapes)
+            Tg = exec_size(num_gathered0, config.bucket_shapes,
+                           config.dense_chunk)
             g_panel = np.zeros(Tg, np.int32)
             g_panel[:num_gathered0] = uq_panel[cpos[kept_chunks]]
             g_cols_full = np.full((Tg, bw), -1, np.int32)
@@ -342,14 +356,15 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     # Tg padding floor: keep at least one (trash) tile so device shapes are
     # never zero-sized
     if g_panel.shape[0] == 0:
-        Tg = bucket_size(0, config.bucket_shapes)
+        Tg = exec_size(0, config.bucket_shapes, config.dense_chunk)
         g_panel = np.zeros(Tg, np.int32)
         g_cols = np.full((Tg, bw), max(N - 1, 0), np.int32)
         g_scatter = np.full((Tg, ph, bw), nnz, dtype=np.int32)
 
     tail = ~in_gathered
     num_residual0 = int(tail.sum())
-    E = bucket_size(num_residual0, config.bucket_shapes, granule=8)
+    E = exec_size(num_residual0, config.bucket_shapes,
+                  config.residual_chunk)
     res_arow = np.zeros(E, dtype=np.int32)
     res_col = np.zeros(E, dtype=np.int32)
     res_out = np.full(E, nnz, dtype=np.int32)
@@ -461,7 +476,8 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         if G > 1:
             padded_lens = -(-run_lens // G) * G
             T_flat0 = int(padded_lens.sum())
-            n_steps = bucket_size(T_flat0 // G, config.bucket_shapes)
+            n_steps = exec_size(T_flat0 // G, config.bucket_shapes,
+                                config.dense_chunk)
             T_flat = n_steps * G
             run_dst = np.zeros(run_starts.shape[0], np.int64)
             np.cumsum(padded_lens[:-1], out=run_dst[1:])

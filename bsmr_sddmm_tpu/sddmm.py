@@ -66,6 +66,16 @@ class BsmrSddmm:
         reord = dataclasses.replace(base)
         return split_columns(self.csr, reord, cfg, delta=delta)
 
+    def choose(self, alpha: Optional[float] = None,
+               k: Optional[int] = None):
+        """Full autotune decision (autotune.DeltaChoice): best tiled plan
+        across the delta candidates, or the dense-fallback tier when the
+        cost model says a masked full matmul wins (near-uniform masks)."""
+        from bsmr_sddmm_tpu.autotune import choose_delta
+        base = self._row_reordering(alpha)
+        return choose_delta(self.csr, base, self.config,
+                            k=k or self.config.k)
+
     def plan(self, alpha: Optional[float] = None,
              delta=None, k: Optional[int] = None) -> TilePlan:
         """Pack a plan. ``delta="auto"`` picks the delta with the lowest
@@ -73,14 +83,20 @@ class BsmrSddmm:
         (autotune.choose_delta) — the TPU answer to the reference's
         on-hardware config sweep."""
         if delta == "auto":
-            from bsmr_sddmm_tpu.autotune import choose_delta
-            base = self._row_reordering(alpha)
-            choice = choose_delta(self.csr, base, self.config,
-                                  k=k or self.config.k)
-            return choice.plan
+            return self.choose(alpha, k=k).plan
         reord = self.reorder(alpha, delta)
         return pack_tiles(self.csr, reord, self.config,
                           k=k or self.config.k)
+
+    def dense_fn(self, k: int):
+        """Compiled dense-fallback executor: masked full matmul at the
+        config's matmul precision, CSR-order output."""
+        key = ("dense_fallback", k, self.config.matmul_precision)
+        if key not in self._fn_cache:
+            from bsmr_sddmm_tpu.baselines import make_dense_masked_fn
+            self._fn_cache[key] = make_dense_masked_fn(
+                self.csr, k, precision=self.config.matmul_precision)
+        return self._fn_cache[key]
 
     def compile(self, plan: TilePlan, backend: Optional[str] = None,
                 emit: str = "csr"):
@@ -106,12 +122,20 @@ class BsmrSddmm:
     def run(self, A: np.ndarray, B: np.ndarray,
             alpha: Optional[float] = None, delta: Optional[float] = None,
             backend: Optional[str] = None) -> np.ndarray:
-        """One-shot execution; returns P (nnz,) in CSR value order."""
+        """One-shot execution; returns P (nnz,) in CSR value order.
+
+        ``delta="auto"`` autotunes over tiled plans AND the dense-fallback
+        tier; ``delta="dense"`` forces the fallback (masked full matmul,
+        no preprocessing)."""
         k = A.shape[1]
+        Bt = np.ascontiguousarray(B.T) if B.shape[0] == k else B
+        if delta == "dense" or (delta == "auto"
+                                and self.choose(alpha, k=k).use_dense):
+            fn = self.dense_fn(k)
+            return np.asarray(fn(jnp.asarray(A), jnp.asarray(Bt)))
         plan = self.plan(alpha, delta, k=k)
         fn = self.compile(plan, backend)
         dplan = device_plan(plan)
-        Bt = np.ascontiguousarray(B.T) if B.shape[0] == k else B
         out = fn(jnp.asarray(A), jnp.asarray(Bt), dplan)
         return np.asarray(out)
 
@@ -120,11 +144,16 @@ class BsmrSddmm:
                   delta: Optional[float] = None,
                   backend: Optional[str] = None,
                   validate: bool = False,
+                  tier_times: bool = False,
                   file: str = "") -> RunLog:
         """Timed run producing a reference-schema RunLog
         (src/sddmmKernel.cu:2561-2659 timing loop + Logger fields)."""
         cfg = self.config
         k = A.shape[1]
+        if delta == "dense" or (delta == "auto"
+                                and self.choose(alpha, k=k).use_dense):
+            return self._benchmark_dense(A, B, alpha=alpha,
+                                         validate=validate, file=file)
         if delta == "auto":
             plan = self.plan(alpha, "auto", k=k)
             delta = plan.delta_used
@@ -170,8 +199,61 @@ class BsmrSddmm:
         log.extras["gflops_csr"] = (
             f"{2.0 * self.csr.nnz * k / (ms_csr * 1e6):.3f}"
             if ms_csr > 0 else "0")
+        if tier_times:
+            # measured per-tier time split (each tier compiled alone) —
+            # the analogue of the reference's dense/sparse overlap
+            # measurement (src/sddmmKernel.cu:2834-2844). The tiers run
+            # fused in one program in production, so the sum can exceed
+            # the fused time; the split shows where the time goes.
+            from bsmr_sddmm_tpu.ops.sddmm import make_sddmm_body
+            tier_ms = {}
+            for tier in ("dense", "gathered", "residual"):
+                tfn = jax.jit(make_sddmm_body(plan, cfg, backend,
+                                              only_tier=tier))
+                t_ms, _ = time_jitted(tfn, A_dev, Bt_dev, dplan,
+                                      iterations=cfg.num_iterations)
+                tier_ms[tier] = t_ms
+            log.extras["tier_dense_ms"] = f"{tier_ms['dense']:.6f}"
+            log.extras["tier_gathered_ms"] = f"{tier_ms['gathered']:.6f}"
+            log.extras["tier_residual_ms"] = f"{tier_ms['residual']:.6f}"
+            overlap = sum(tier_ms.values()) / ms if ms > 0 else 0.0
+            log.extras["tier_overlap_efficiency"] = f"{overlap:.3f}"
         if validate:
             expected = sddmm_ref(A, B if B.shape[0] == k else B.T, self.csr)
+            res = check_data(expected, np.asarray(out))
+            log.check_result = "pass" if res.passed else "fail"
+            log.error_rate = res.error_rate
+        return log
+
+    def _benchmark_dense(self, A: np.ndarray, B: np.ndarray,
+                         alpha: Optional[float] = None,
+                         validate: bool = False,
+                         file: str = "") -> RunLog:
+        """Timed dense-fallback run (masked full matmul tier): no
+        reordering, no packing — the cost model picked the MXU roofline
+        over tiles."""
+        cfg = self.config
+        k = A.shape[1]
+        Bt = np.ascontiguousarray(B.T) if B.shape[0] == k else B
+        fn = self.dense_fn(k)
+        A_dev, Bt_dev = jnp.asarray(A), jnp.asarray(Bt)
+        ms, out = time_jitted(fn, A_dev, Bt_dev,
+                              iterations=cfg.num_iterations)
+        log = RunLog(
+            file=file,
+            device=jax.devices()[0].device_kind,
+            backend=self.config.backend,
+            m=self.csr.rows, n=self.csr.cols, k=k, nnz=self.csr.nnz,
+            sparsity=self.csr.sparsity,
+            alpha=cfg.alpha if alpha is None else alpha,
+            delta=float("nan"),
+            panel_height=cfg.panel_height, block_width=cfg.block_width,
+            sddmm_ms=ms,
+        )
+        log.extras["strategy"] = "dense_fallback"
+        if validate:
+            expected = sddmm_ref(A, B if B.shape[0] == k else B.T,
+                                 self.csr)
             res = check_data(expected, np.asarray(out))
             log.check_result = "pass" if res.passed else "fail"
             log.error_rate = res.error_rate

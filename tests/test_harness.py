@@ -289,3 +289,37 @@ def test_cli_test_mode_sweep(tmp_path, monkeypatch):
     from bsmr_sddmm_tpu.utils.logger import parse_log_text
     recs = parse_log_text(open(logdir / names[0]).read())
     assert recs and recs[0]["K"] == "16"
+
+
+def test_dense_fallback_autotune():
+    from bsmr_sddmm_tpu.config import SddmmConfig
+    """Near-uniform masks: the autotune must pick the dense-fallback tier
+    (masked full matmul) and the run must still validate; structured
+    masks must stay on tiles."""
+    import jax.numpy as jnp
+    from bsmr_sddmm_tpu.datasets import uniform
+    from bsmr_sddmm_tpu.formats import make_dense, random_mask
+    from bsmr_sddmm_tpu.sddmm import BsmrSddmm
+    from bsmr_sddmm_tpu.ops.sddmm import sddmm_ref
+    from bsmr_sddmm_tpu.utils.checkdata import check_data
+
+    cfg = SddmmConfig(k=32, panel_height=16, num_iterations=2)
+    uni = uniform(4096, 350_000, seed=9)
+    pipe = BsmrSddmm(uni, cfg)
+    # the dense arm must be priced in the candidate table
+    choice = pipe.choose()
+    assert "dense" in choice.candidates
+    A = make_dense(uni.rows, 32, seed=1)
+    B = make_dense(32, uni.cols, seed=2)
+    # forced dense fallback: correct values, dense RunLog schema
+    out = pipe.run(A, B, delta="dense")
+    res = check_data(sddmm_ref(A, B, uni), out)
+    assert res.passed
+    log = pipe.benchmark(A, B, delta="dense", validate=True, file="uni")
+    assert log.extras.get("strategy") == "dense_fallback"
+    assert log.check_result == "pass"
+
+    blocky = random_mask(rows=2048, cols=2048, nnz=60_000, seed=3,
+                         block_rows=32, block_cols=256)
+    choice2 = BsmrSddmm(blocky, cfg).choose()
+    assert not choice2.use_dense, choice2.candidates
