@@ -36,12 +36,12 @@ V5E_COSTS = dict(
     mxu_tflops=55.0,          # bf16x3 effective fp32-class matmul rate
     stream_gbps=645.0,        # contiguous HBM read+write
     elem_gather_meps=140.0,   # 4-byte element gather (M elem/s)
-    # element gather out of the just-written row-major (M, N) product:
-    # CSR-ordered indices are row-major sorted, so this gather runs well
-    # above the random-element rate (round-1 evidence: the masked-dense
-    # strategy hit 135 GFLOPS on uniform_10k where 140 M elem/s would cap
-    # it near 64). Recalibrated on first hardware use (calibrate()).
-    masked_gather_meps=420.0,
+    # effective rate of the dense-fallback tier (XLA sampled dense dot,
+    # bcoo_dot_general_sampled): the full M*N*K product with fused
+    # extraction. Measured 13-32 TFLOP/s on v5e depending on mask
+    # structure; the conservative end keeps the arm from firing unless
+    # it clearly wins.
+    sampled_dot_tflops=13.0,
 )
 
 DELTA_CANDIDATES = (0.006, 0.02, 0.05, 0.15, 0.3)
@@ -49,15 +49,12 @@ DELTA_CANDIDATES = (0.006, 0.02, 0.05, 0.15, 0.3)
 
 def estimate_dense_ms(rows: int, cols: int, nnz: int, k: int,
                       costs: dict = V5E_COSTS) -> float:
-    """Predicted time for the dense-fallback tier: compute the full
-    (M, N) product in row blocks and gather the nnz mask entries.
-    Two bounds: MXU flops and HBM streaming of the (M, N) fp32 product
-    (written by the matmul, re-read by the gather); plus the per-element
-    gather of nnz values."""
-    flops_ms = 2.0 * rows * cols * k / (costs["mxu_tflops"] * 1e9)
-    bytes_ms = rows * cols * 4.0 * 2.0 / (costs["stream_gbps"] * 1e6)
-    gather_ms = nnz / (costs["masked_gather_meps"] * 1e3)
-    return max(flops_ms, bytes_ms) + gather_ms + costs["fixed_us"] / 1e3
+    """Predicted time for the dense-fallback tier: XLA's sampled dense
+    dot computes the full M*N*K product with the mask extraction fused
+    (the product is never materialized in HBM), so the cost is one
+    flops term at the measured effective rate."""
+    flops_ms = 2.0 * rows * cols * k / (costs["sampled_dot_tflops"] * 1e9)
+    return flops_ms + costs["fixed_us"] / 1e3
 
 
 def estimate_plan_ms(plan: TilePlan,

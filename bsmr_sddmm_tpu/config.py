@@ -133,8 +133,10 @@ class SddmmConfig:
     # Live-intermediate budget per tier (MB). Under the budget a tier runs
     # as ONE gather + ONE batched matmul (measured ~15% faster than the
     # chunked scan on v5e — no scan step overhead, better DMA overlap);
-    # above it, the lax.scan chunking bounds live memory.
-    tier_memory_mb: int = 512
+    # above it, the lax.scan chunking bounds live memory. 192 MB keeps the
+    # single-shot intermediates + precision-split copies + timing queue
+    # well inside a 16 GB HBM (512 MB OOMed a 20k uniform mask).
+    tier_memory_mb: int = 192
     # Pad tile/residual counts up to buckets (powers of two between
     # min_bucket and exact) to bound recompilation across sweep configs.
     bucket_shapes: bool = True

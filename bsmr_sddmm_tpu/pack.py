@@ -173,7 +173,8 @@ class TilePlan:
 
 
 def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
-               k: Optional[int] = None) -> TilePlan:
+               k: Optional[int] = None,
+               fat_group_override: Optional[int] = None) -> TilePlan:
     """Build the TilePlan from a finished BSMR reordering.
 
     Mirrors RPHM::RPHM's two passes (dense blockValues, BSMR.cpp:143-174;
@@ -465,14 +466,21 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     # (G*ph, bw) MXU matmul) to amortize the ~100 ns/step pipeline
     # overhead. Each same-cblock run pads to a G multiple; G adapts to the
     # median run so padding stays small.
-    if mode == "bsr" and config.dense_fat_group > 1 and num_tiles0:
+    want_fat = (fat_group_override if fat_group_override is not None
+                else config.dense_fat_group)
+    if mode == "bsr" and want_fat > 1 and num_tiles0:
         cb = tile_cblock[:num_tiles0]
         run_starts = np.nonzero(np.diff(cb, prepend=-1))[0]
         run_lens = np.diff(np.append(run_starts, num_tiles0))
-        med = int(np.median(run_lens))
-        G = 1
-        while G * 2 <= config.dense_fat_group and G * 2 <= med:
-            G *= 2
+        if fat_group_override is not None:
+            # shard packs force one G across shards (the fat layout is a
+            # compile-time static of the shared shard_map body)
+            G = fat_group_override
+        else:
+            med = int(np.median(run_lens))
+            G = 1
+            while G * 2 <= want_fat and G * 2 <= med:
+                G *= 2
         if G > 1:
             padded_lens = -(-run_lens // G) * G
             T_flat0 = int(padded_lens.sum())
@@ -537,3 +545,128 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     )
     plan.pack_time_ms = (_time.perf_counter() - t0) * 1e3
     return plan
+
+
+def _pad_plan_to(plan: TilePlan, T: int, Tg: int, E: int,
+                 num_panels: int) -> TilePlan:
+    """Pad a shard's TilePlan out to common shapes (extra tiles/entries
+    land in the trash slot; extra panels read row 0 of A, never emitted)."""
+    ph, bw, nnz = plan.panel_height, plan.block_width, plan.nnz
+    G = plan.fat_group
+
+    def pad(arr, n, fill):
+        if arr.shape[0] == n:
+            return arr
+        extra = np.full((n - arr.shape[0],) + arr.shape[1:], fill,
+                        arr.dtype)
+        return np.concatenate([arr, extra], axis=0)
+
+    T0 = plan.tile_panel.shape[0]
+    assert T % max(G, 1) == 0 and T0 % max(G, 1) == 0
+    ncb = -(-plan.cols // bw)
+    pad_cols = np.minimum(np.arange(bw), plan.cols - 1).astype(np.int32)
+    out = dataclasses.replace(
+        plan,
+        tile_panel=pad(plan.tile_panel, T, 0),
+        tile_cols=pad(plan.tile_cols, T, 0) if T == T0 else np.concatenate(
+            [plan.tile_cols, np.broadcast_to(pad_cols, (T - T0, bw)).copy()],
+            axis=0),
+        tile_scatter=pad(plan.tile_scatter, T, nnz),
+        tile_cblock=(pad(plan.tile_cblock, T, 0)
+                     if plan.tile_cblock is not None else None),
+        step_cblock=(pad(plan.step_cblock, T // G, 0)
+                     if plan.step_cblock is not None else None),
+        g_panel=pad(plan.g_panel, Tg, 0),
+        g_cols=pad(plan.g_cols, Tg, max(plan.cols - 1, 0)),
+        g_scatter=pad(plan.g_scatter, Tg, nnz),
+        res_arow=pad(plan.res_arow, E, 0),
+        res_col=pad(plan.res_col, E, 0),
+        res_out=pad(plan.res_out, E, nnz),
+        row_perm_padded=pad(plan.row_perm_padded, num_panels * ph, 0),
+        num_panels=num_panels,
+    )
+    return out
+
+
+def pack_shard_plans(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
+                     n_shards: int, k: Optional[int] = None) -> list:
+    """Row-panel sharding: split the reordered panels into ``n_shards``
+    contiguous, nnz-balanced ranges and pack each range independently —
+    each shard keeps fat steps (one common fat group, a static of the
+    shared shard_map body) and its own bucketed-then-padded-common shapes.
+    Scatter indices stay GLOBAL (into csr.nnz), so the shard outputs are
+    exact disjoint pieces of the full rphm layout.
+
+    This replaces round 1's slice-a-global-plan approach, which silently
+    dropped fat steps and gather windows (shard-local gather windows stay
+    off: window groups are per-shard static metadata and cannot differ
+    across shards under one shard_map program).
+    """
+    assert reord.dense_cols is not None, "run col_reordering first"
+    cfg = config.replace(gather_window_mb=0)
+    ph = cfg.panel_height
+    perm = reord.row_perm
+    R = perm.shape[0]
+    num_panels = reord.num_row_panels
+    # nnz per panel -> contiguous balanced ranges
+    row_nnz = csr.row_nnz()[perm]
+    pad_rows = num_panels * ph - R
+    panel_nnz = np.concatenate([row_nnz, np.zeros(pad_rows, np.int64)]) \
+        .reshape(num_panels, ph).sum(axis=1)
+    cum = np.concatenate([[0], np.cumsum(panel_nnz)])
+    targets = cum[-1] * np.arange(1, n_shards) / n_shards
+    bounds = np.concatenate([[0], np.searchsorted(cum, targets),
+                             [num_panels]]).astype(np.int64)
+    bounds = np.maximum.accumulate(bounds)
+
+    dco = reord.dense_col_offsets
+    shard_plans = []
+    for s in range(n_shards):
+        p0, p1 = int(bounds[s]), int(bounds[s + 1])
+        rows = perm[p0 * ph: min(p1 * ph, R)]
+        if rows.size == 0:
+            rows = perm[:0]
+        sub = dataclasses.replace(
+            reord,
+            row_perm=rows,
+            cluster_ids=reord.cluster_ids[p0 * ph: min(p1 * ph, R)],
+            dense_cols=reord.dense_cols[dco[p0]:dco[p1]],
+            dense_col_offsets=(dco[p0:p1 + 1] - dco[p0]),
+        )
+        shard_plans.append(pack_tiles(csr, sub, cfg, k=k,
+                                      fat_group_override=1))
+    # common fat group: largest power of two every shard can be regrouped
+    # to is 1 unless we re-pack; instead re-pack with the global adaptive G
+    tile_counts = [p.num_tiles for p in shard_plans]
+    if cfg.dense_fat_group > 1 and any(tile_counts):
+        meds = []
+        for p in shard_plans:
+            if p.num_tiles and p.tile_cblock is not None:
+                cb = p.tile_cblock[:p.num_tiles]
+                starts = np.nonzero(np.diff(cb, prepend=-1))[0]
+                meds.append(int(np.median(np.diff(
+                    np.append(starts, p.num_tiles)))))
+        med = min(meds) if meds else 1
+        G = 1
+        while G * 2 <= cfg.dense_fat_group and G * 2 <= med:
+            G *= 2
+        if G > 1:
+            shard_plans = []
+            for s in range(n_shards):
+                p0, p1 = int(bounds[s]), int(bounds[s + 1])
+                rows = perm[p0 * ph: min(p1 * ph, R)]
+                sub = dataclasses.replace(
+                    reord,
+                    row_perm=rows,
+                    cluster_ids=reord.cluster_ids[p0 * ph: min(p1 * ph, R)],
+                    dense_cols=reord.dense_cols[dco[p0]:dco[p1]],
+                    dense_col_offsets=(dco[p0:p1 + 1] - dco[p0]),
+                )
+                shard_plans.append(pack_tiles(csr, sub, cfg, k=k,
+                                              fat_group_override=G))
+    # pad to common shapes
+    T = max(p.tile_panel.shape[0] for p in shard_plans)
+    Tg = max(p.g_panel.shape[0] for p in shard_plans)
+    E = max(p.res_arow.shape[0] for p in shard_plans)
+    NP = max(max(p.num_panels for p in shard_plans), 1)
+    return [_pad_plan_to(p, T, Tg, E, NP) for p in shard_plans]

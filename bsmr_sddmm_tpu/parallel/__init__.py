@@ -1,7 +1,9 @@
 from bsmr_sddmm_tpu.parallel import distributed
-from bsmr_sddmm_tpu.parallel.sharding import (make_mesh, shard_device_plan,
-                                              make_sharded_sddmm_fn,
-                                              shard_operands)
+from bsmr_sddmm_tpu.parallel.sharding import (make_mesh,
+                                              make_sharded_sddmm,
+                                              shard_device_plan,
+                                              shard_operands,
+                                              sharded_rphm_to_csr)
 
-__all__ = ["distributed", "make_mesh", "shard_device_plan",
-           "make_sharded_sddmm_fn", "shard_operands"]
+__all__ = ["distributed", "make_mesh", "make_sharded_sddmm",
+           "shard_device_plan", "shard_operands", "sharded_rphm_to_csr"]

