@@ -33,7 +33,12 @@ ALPHAS = (0.3,)
 # banded, 0.006 wins community/rmat). Sweep the TPU regime; K=128 gets
 # the full grid, other K a 2-point grid to bound wall time.
 DELTAS_128 = (0.002, 0.006, 0.02)
-DELTAS_OTHER = (0.002, 0.02)
+DELTAS_OTHER = (0.006, 0.02)
+# skip plans whose device-resident maps exceed this (the tile scatter map
+# costs 16 KB/tile regardless of K; a 262k-row power-law mask at delta
+# 0.002 packs ~150k mostly-empty tiles = a multi-GB upload through the
+# tunnel for a plan the cost model would never pick)
+MAX_PLAN_BYTES = 1 << 30
 #: reference per-K geomeans (RTX 4090, best-over-sweep per matrix)
 BASELINE_GEOMEAN_GFLOPS = {32: 1851.0, 64: 2601.0, 128: 2927.0,
                            256: 2710.0}
@@ -57,6 +62,16 @@ def main() -> int:
             per_matrix = 0.0
             for alpha in ALPHAS:
                 for delta in deltas:
+                    plan = pipe.plan(alpha, delta, k=K)
+                    plan_bytes = 4 * (
+                        plan.tile_scatter.size + plan.g_scatter.size
+                        + plan.tile_cols.size + plan.g_cols.size
+                        + 3 * plan.res_arow.size + plan.rphm_to_csr.size)
+                    if plan_bytes > MAX_PLAN_BYTES:
+                        print(f"# {name} a={alpha} d={delta} k={K}: "
+                              f"skipped (plan maps {plan_bytes >> 20} MB)",
+                              file=sys.stderr, flush=True)
+                        continue
                     log = pipe.benchmark(A, B, alpha=alpha, delta=delta,
                                          time_csr_emit=False, file=name)
                     per_matrix = max(per_matrix, log.gflops)

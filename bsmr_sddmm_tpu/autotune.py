@@ -98,18 +98,20 @@ def choose_delta(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     comfortably (cols <= ~8M)."""
     import dataclasses as _dc
     k_eff = config.k if k is None else k
+    costs = current_costs()   # disk-cached per-device calibration if any
     best: Optional[Tuple[float, float, TilePlan]] = None
     table = {}
     for d in candidates:
         r = split_columns(csr, _dc.replace(reord), config, delta=d)
         plan = pack_tiles(csr, r, config, k=k)
-        ms = estimate_plan_ms(plan)
+        ms = estimate_plan_ms(plan, costs)
         table[d] = ms
         if best is None or ms < best[1]:
             best = (d, ms, plan)
     use_dense = False
     if allow_dense and csr.cols <= (1 << 23):
-        dense_ms = estimate_dense_ms(csr.rows, csr.cols, csr.nnz, k_eff)
+        dense_ms = estimate_dense_ms(csr.rows, csr.cols, csr.nnz, k_eff,
+                                     costs)
         table["dense"] = dense_ms
         if dense_ms < best[1]:
             use_dense = True
@@ -118,3 +120,96 @@ def choose_delta(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
                                use_dense=True)
     return DeltaChoice(delta=best[0], estimated_ms=best[1], plan=best[2],
                        candidates=table, use_dense=use_dense)
+
+
+# ---------------------------------------------------------------------------
+# Runtime calibration (VERDICT r1 item 6): V5E_COSTS are one machine's
+# measurements; refit the three tier constants on the actual device once
+# and cache to disk keyed by device kind.
+# ---------------------------------------------------------------------------
+
+_CALIBRATED: Optional[dict] = None
+
+
+def _cache_path(device_kind: str) -> str:
+    import os
+    base = os.environ.get("BSMR_CACHE_DIR",
+                          os.path.expanduser("~/.cache/bsmr_sddmm_tpu"))
+    os.makedirs(base, exist_ok=True)
+    safe = "".join(c if c.isalnum() else "_" for c in device_kind)
+    return os.path.join(base, f"tier_costs_{safe}.json")
+
+
+def current_costs() -> dict:
+    """The cost table in effect: calibrated values when available
+    (memory, then disk), else the checked-in v5e measurements."""
+    import json
+    import os
+    global _CALIBRATED
+    if _CALIBRATED is not None:
+        return _CALIBRATED
+    import jax
+    if jax.default_backend() == "cpu":
+        return V5E_COSTS
+    path = _cache_path(jax.devices()[0].device_kind)
+    if os.path.exists(path):
+        with open(path) as f:
+            _CALIBRATED = {**V5E_COSTS, **json.load(f)}
+        return _CALIBRATED
+    return V5E_COSTS
+
+
+def calibrate(store: bool = True) -> dict:
+    """Measure the three tier constants on the current device with small
+    synthetic plans (one compile each, ~10-20 s once per machine) and
+    cache them to disk. Returns the refit cost table."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from bsmr_sddmm_tpu.formats import make_dense, random_mask
+    from bsmr_sddmm_tpu.ops.sddmm import device_plan, make_sddmm_body
+    from bsmr_sddmm_tpu.reorder import bsmr
+    from bsmr_sddmm_tpu.utils.timing import time_jitted
+
+    global _CALIBRATED
+    costs = dict(V5E_COSTS)
+    cfg = SddmmConfig(k=128, panel_height=32)
+
+    def tier_ms(csr, config, tier, delta):
+        reord = bsmr(csr, config.replace(delta=delta))
+        plan = pack_tiles(csr, reord, config)
+        body = jax.jit(make_sddmm_body(plan, config, only_tier=tier))
+        A = jnp.asarray(make_dense(csr.rows, config.k, seed=1))
+        Bt = jnp.asarray(make_dense(csr.cols, config.k, seed=2))
+        ms, _ = time_jitted(body, A, Bt, device_plan(plan), iterations=8)
+        return ms, plan
+
+    # 1. dense BSR tiles: blocky mask, everything tiled
+    csr = random_mask(8192, 8192, 1_000_000, seed=3, block_rows=32,
+                      block_cols=256, block_fill=0.8)
+    ms, plan = tier_ms(csr, cfg, "dense", 0.02)
+    if plan.tile_panel.shape[0]:
+        per = ms * 1e6 / plan.tile_panel.shape[0]
+        costs["dense_tile_ns"] = per / (
+            costs["fat_discount"] if plan.fat_group > 1 else 1.0)
+    # 2. gathered tiles: uniform-ish mask, low tile cutoff
+    cfg_g = cfg.replace(residual_tile_min_nnz=16)
+    csr = random_mask(8192, 8192, 600_000, seed=4)
+    ms, plan = tier_ms(csr, cfg_g, "gathered", 0.02)
+    if plan.g_panel.shape[0]:
+        costs["gathered_tile_ns"] = ms * 1e6 / plan.g_panel.shape[0]
+    # 3. per-nnz residual
+    cfg_r = cfg.replace(residual_mode="pernnz")
+    ms, plan = tier_ms(csr, cfg_r, "residual", 1.1)
+    if plan.res_arow.shape[0]:
+        costs["pernnz_ns"] = ms * 1e6 / plan.res_arow.shape[0]
+
+    _CALIBRATED = costs
+    if store and jax.default_backend() != "cpu":
+        with open(_cache_path(jax.devices()[0].device_kind), "w") as f:
+            json.dump({k: costs[k] for k in
+                       ("dense_tile_ns", "gathered_tile_ns",
+                        "pernnz_ns")}, f)
+    return costs

@@ -131,12 +131,11 @@ class SddmmConfig:
     # Residual nonzeros per chunk (bounds gathered A/B rows: chunk * K).
     residual_chunk: int = 1 << 16
     # Live-intermediate budget per tier (MB). Under the budget a tier runs
-    # as ONE gather + ONE batched matmul (measured ~15% faster than the
-    # chunked scan on v5e — no scan step overhead, better DMA overlap);
-    # above it, the lax.scan chunking bounds live memory. 192 MB keeps the
-    # single-shot intermediates + precision-split copies + timing queue
-    # well inside a 16 GB HBM (512 MB OOMed a 20k uniform mask).
-    tier_memory_mb: int = 192
+    # as ONE gather + ONE batched matmul (no chunking at all — measured
+    # fastest on v5e); above it, an UNROLLED chunk loop bounds live
+    # memory (never lax.scan: scanned row gathers collapse to ~85 M
+    # rows/s vs ~345 single-shot).
+    tier_memory_mb: int = 384
     # Pad tile/residual counts up to buckets (powers of two between
     # min_bucket and exact) to bound recompilation across sweep configs.
     bucket_shapes: bool = True

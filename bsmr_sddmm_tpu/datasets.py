@@ -100,16 +100,30 @@ def uniform(n: int, nnz: int, seed: int = 0) -> CSR:
     return _dedup_to_csr(rng.integers(0, n, m), rng.integers(0, n, m), n, n)
 
 
-#: The benchmark suite: one entry per SuiteSparse regime the reference's
-#: filtered dataset contains, sized inside its filter (m,n >= 10000,
-#: nnz >= 100000).
+#: The benchmark suite: 8 matrices whose REGIME MIX mirrors the
+#: reference's filtered dataset (503 matrices bucketed by SuiteSparse
+#: group in bsmr_sddmm_tpu/data/suitesparse_replicas.csv: 247 mesh/FEM,
+#: 204 optimization/blocked, 52 graph = 49%/41%/10% -> 4/3/1 of 8), each
+#: sized inside the reference's filter (m,n >= 10000, nnz >= 100000,
+#: exclude_invalid_dataset.py:47). Round 1 over-weighted the adversarial
+#: power-law regime (3 R-MAT + 1 uniform of 8), which the reference's
+#: real dataset does not.
 SUITE = (
-    ("rmat_18", lambda: rmat(1 << 18, 2_000_000, seed=41)),
-    ("rmat_16", lambda: rmat(1 << 16, 1_000_000, seed=42)),
-    ("rmat_14_dense", lambda: rmat(1 << 14, 1_500_000, seed=43)),
     ("banded_mesh_32k", lambda: banded(32768, 2_000_000, 256, seed=44)),
+    ("banded_mesh_64k", lambda: banded(65536, 3_500_000, 384, seed=49)),
+    ("banded_mesh_20k", lambda: banded(20000, 1_200_000, 128, seed=50)),
     ("banded_mesh_12k", lambda: banded(12000, 600_000, 96, seed=45)),
     ("community_16k", lambda: community(16384, 1_200_000, 24, seed=46)),
     ("community_20k", lambda: community(20000, 900_000, 48, seed=47)),
+    ("community_32k", lambda: community(32768, 1_800_000, 64, seed=51)),
+    ("rmat_16", lambda: rmat(1 << 16, 1_000_000, seed=42)),
+)
+
+#: Adversarial extras kept out of the headline mix (regimes the
+#: reference's dataset barely contains) — exercised by tests and
+#: available to the harness by name.
+EXTRA = (
+    ("rmat_18", lambda: rmat(1 << 18, 2_000_000, seed=41)),
+    ("rmat_14_dense", lambda: rmat(1 << 14, 1_500_000, seed=43)),
     ("uniform_20k", lambda: uniform(20000, 800_000, seed=48)),
 )

@@ -38,10 +38,17 @@
 namespace {
 
 struct InvertedIndex {
-    // rows listed per encoding block, over ALL rows (static; assigned
-    // rows are skipped at query time)
+    // rows listed per encoding block, over ALL rows. Lists COMPACT
+    // LAZILY: assigned rows met during a walk are swapped behind the
+    // per-block live end, so a hub block's list shrinks as its rows get
+    // clustered instead of being re-skipped by every later
+    // representative (the round-1 power-law tail: ~R reps x O(hub list)
+    // touches; with compaction each entry is removed at most once,
+    // amortized O(total entries) over the whole run). Decisions are
+    // unchanged — assigned rows were never candidates.
     std::vector<int64_t> ptr;   // (nblocks+1)
-    std::vector<int64_t> rows;  // (total entries)
+    std::vector<int64_t> rows;  // (total entries, mutable order)
+    std::vector<int64_t> live;  // (nblocks) current live end per block
 
     InvertedIndex(int64_t R, const int64_t* indptr, const int32_t* indices,
                   int64_t nblocks) {
@@ -54,26 +61,41 @@ struct InvertedIndex {
         for (int64_t r = 0; r < R; ++r)
             for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i)
                 rows[cursor[indices[i]]++] = r;
+        live.assign(ptr.begin() + 1, ptr.end());
     }
 };
 
-// candidates: unassigned rows > rep sharing >= 1 block with `blocks`,
-// appended UNSORTED (deduped via the stamp marker) — the fast strategy's
-// hit test is order-independent, and sorting hub-block candidate lists
-// costs more than testing them
-void collect_candidates(const InvertedIndex& idx, const int32_t* blocks,
+// candidates: unassigned rows sharing >= 1 block with `blocks`, appended
+// UNSORTED (deduped via the stamp marker) — the fast strategy's hit test
+// is order-independent, and sorting hub-block candidate lists costs more
+// than testing them. Assigned rows are compacted out of the walked lists
+// (rows processed before the current rep are always assigned, so the
+// old `r <= rep` skip is subsumed by the assigned check).
+void collect_candidates(InvertedIndex& idx, const int32_t* blocks,
                         int64_t n_blocks,
                         const std::vector<uint8_t>& assigned,
                         std::vector<int64_t>& stamp, int64_t marker,
                         int64_t rep, std::vector<int64_t>& out) {
+    (void)rep;
     for (int64_t i = 0; i < n_blocks; ++i) {
         const int64_t b = blocks[i];
-        for (int64_t p = idx.ptr[b]; p < idx.ptr[b + 1]; ++p) {
+        int64_t p = idx.ptr[b];
+        int64_t end = idx.live[b];
+        while (p < end) {
             const int64_t r = idx.rows[p];
-            if (r <= rep || assigned[r] || stamp[r] == marker) continue;
-            stamp[r] = marker;
-            out.push_back(r);
+            if (assigned[r]) {
+                idx.rows[p] = idx.rows[end - 1];
+                idx.rows[end - 1] = r;
+                --end;
+                continue;
+            }
+            if (stamp[r] != marker) {
+                stamp[r] = marker;
+                out.push_back(r);
+            }
+            ++p;
         }
+        idx.live[b] = end;
     }
 }
 

@@ -170,10 +170,27 @@ class BsmrSddmm:
         Bt = np.ascontiguousarray(B.T) if B.shape[0] == k else B
         A_dev, Bt_dev = jnp.asarray(A), jnp.asarray(Bt)
         # headline kernel time: values in the plan's own (rphm) layout —
-        # every nonzero computed exactly once, no per-element reorder
+        # every nonzero computed exactly once, no per-element reorder.
+        # On device the timing runs IN-PROGRAM (fori_loop repetition, one
+        # submission per batch): per-call submission (~0.16 ms through
+        # the tunnel) and readback jitter otherwise dominate sub-ms
+        # kernels (utils/timing.time_rphm_inprogram).
         fn_rphm = self.compile(plan, backend, emit="rphm")
-        ms, out_rphm = time_jitted(fn_rphm, A_dev, Bt_dev, dplan,
-                                   iterations=cfg.num_iterations)
+        from bsmr_sddmm_tpu.ops.sddmm import resolve_backend
+        resolved = resolve_backend(cfg.backend if backend is None
+                                   else backend)
+        if jax.default_backend() != "cpu":
+            from bsmr_sddmm_tpu.ops.sddmm import make_sddmm_body
+            from bsmr_sddmm_tpu.utils.timing import time_rphm_inprogram
+            body = make_sddmm_body(plan, cfg, backend, emit="rphm")
+            ms = time_rphm_inprogram(
+                body, A_dev, Bt_dev, dplan,
+                dense_opaque=(resolved == "pallas"
+                              and plan.mode == "bsr"),
+                iterations=cfg.num_iterations)
+        else:
+            ms, _ = time_jitted(fn_rphm, A_dev, Bt_dev, dplan,
+                                iterations=cfg.num_iterations)
         # CSR-order emission (reference output contract) timed separately;
         # skippable (the sweep driver only needs the rphm headline, and
         # the csr executable is an extra compile per shape bucket)

@@ -144,3 +144,57 @@ def time_jitted(fn: Callable, *args, iterations: int = 10,
     if ms <= 0.05 * upper:  # still degenerate: report the safe upper bound
         ms = upper
     return max(ms, 1e-6), result
+
+
+def time_rphm_inprogram(body: Callable, A, Bt, dplan,
+                        dense_opaque: bool = True,
+                        target_s: float = 0.15,
+                        iterations: int = 10) -> float:
+    """Device time per call of an ``emit="rphm"`` SDDMM body, measured by
+    IN-PROGRAM repetition: one jitted fori_loop runs the body R times, so
+    submission overhead (~0.16 ms/call through the tunnel) and readback
+    jitter are paid once per *batch* instead of once per call — the only
+    honest way to time sub-millisecond kernels over a ~26 ms RTT link.
+
+    Hoisting/DCE hardening (both verified to bite on this platform):
+    * the loop carry perturbs A each iteration (`A * (1 + c)`), so the
+      body is not loop-invariant and cannot be hoisted;
+    * the carry consumes every output tier: the gathered and residual
+      tiers via full sums (XLA could legally narrow a sliced dot), the
+      dense tier via one element when it is an opaque pallas_call
+      (partial consumption still runs the whole kernel) or a full sum
+      otherwise.
+    The A-scale adds one stream of A per rep — a small, *conservative*
+    inflation (reported time can only be an overestimate).
+    """
+    def make_rep(reps: int):
+        def fn(A, Bt, dplan):
+            def step(_, c):
+                d, g, r = body(A * (1.0 + c), Bt, dplan)
+                probe = (d.ravel()[0] if dense_opaque
+                         else jnp.sum(d) * 1e-30)
+                s = probe * 1e-30 + jnp.sum(g) * 1e-30 + jnp.sum(r)
+                return s * 1e-37
+            return jax.lax.fori_loop(0, reps, step,
+                                     jnp.float32(0.0))
+        return jax.jit(fn)
+
+    # pilot: estimate per-call cost with a small in-program batch
+    pilot_reps = max(iterations, 4)
+    f = make_rep(pilot_reps)
+    force(f(A, Bt, dplan))  # compile + warm
+    t0 = time.perf_counter()
+    force(f(A, Bt, dplan))
+    pilot = (time.perf_counter() - t0 - _rtt()) / pilot_reps
+    pilot = max(pilot, 1e-6)
+    reps = int(min(max(pilot_reps, target_s / pilot), 4096))
+    if reps <= pilot_reps * 1.5:
+        return pilot * 1e3
+    g = make_rep(reps)
+    force(g(A, Bt, dplan))
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(g(A, Bt, dplan))
+        ts.append(time.perf_counter() - t0)
+    return (min(ts) - _rtt()) / reps * 1e3

@@ -2,7 +2,8 @@
 import sys
 import numpy as np
 from bsmr_sddmm_tpu.config import SddmmConfig
-from bsmr_sddmm_tpu.datasets import SUITE
+from bsmr_sddmm_tpu.datasets import SUITE, EXTRA
+SUITE = SUITE + EXTRA
 from bsmr_sddmm_tpu.formats import make_dense
 from bsmr_sddmm_tpu.sddmm import BsmrSddmm
 

@@ -10,7 +10,8 @@ Variants on one suite matrix's gathered tier shapes:
 import sys, time
 import numpy as np, jax, jax.numpy as jnp
 from bsmr_sddmm_tpu.config import SddmmConfig
-from bsmr_sddmm_tpu.datasets import SUITE
+from bsmr_sddmm_tpu.datasets import SUITE, EXTRA
+SUITE = SUITE + EXTRA
 from bsmr_sddmm_tpu.reorder import bsmr
 from bsmr_sddmm_tpu.pack import pack_tiles
 from bsmr_sddmm_tpu.formats import make_dense
