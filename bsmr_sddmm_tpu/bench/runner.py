@@ -25,7 +25,7 @@ from typing import List, Sequence
 def run_matrix(matrix_path: str, log_dir: str, k: int = 32,
                alpha: float = 0.3, delta: float = 0.3,
                test_mode: bool = False, backend: str = "xla",
-               validate: bool = False,
+               validate: bool = False, fast_bench: bool = False,
                timeout_s: float = 3600.0) -> int:
     """Run one matrix in a fresh process via the CLI; returns exit code
     (124 on timeout, like coreutils timeout)."""
@@ -36,6 +36,8 @@ def run_matrix(matrix_path: str, log_dir: str, k: int = 32,
         cmd.append("-t")
     if validate:
         cmd.append("--validate")
+    if fast_bench:
+        cmd.append("--fast-bench")
     try:
         proc = subprocess.run(cmd, timeout=timeout_s)
         return proc.returncode
@@ -81,7 +83,7 @@ def run_suite(matrix_list: Sequence[str], log_dir: str,
               deltas: Sequence[float] = (0.3,),
               baselines: Sequence[str] = (),
               test_mode: bool = False, backend: str = "xla",
-              validate: bool = False,
+              validate: bool = False, fast_bench: bool = False,
               timeout_s: float = 3600.0,
               echo=print) -> List[dict]:
     """Run the whole suite; returns one status dict per (matrix, run)."""
@@ -96,6 +98,7 @@ def run_suite(matrix_list: Sequence[str], log_dir: str,
                     rc = run_matrix(path, log_dir, k=k, alpha=alpha,
                                     delta=delta, test_mode=test_mode,
                                     backend=backend, validate=validate,
+                                    fast_bench=fast_bench,
                                     timeout_s=timeout_s)
                     dt = time.time() - t0
                     echo(f"[{name} k={k} a={alpha} d={delta} bsmr] "
@@ -140,6 +143,7 @@ def main(argv=None) -> int:
                    choices=["dense_masked", "bcoo", "gather_dot"])
     p.add_argument("--backend", default="xla")
     p.add_argument("--validate", action="store_true")
+    p.add_argument("--fast-bench", action="store_true")
     p.add_argument("--timeout", type=float, default=3600.0)
     args = p.parse_args(argv)
     with open(args.matrix_list) as f:
@@ -150,7 +154,9 @@ def main(argv=None) -> int:
                          deltas=args.delta or (0.3,),
                          baselines=args.baselines,
                          test_mode=args.test_mode, backend=args.backend,
-                         validate=args.validate, timeout_s=args.timeout)
+                         validate=args.validate,
+                         fast_bench=args.fast_bench,
+                         timeout_s=args.timeout)
     failures = [s for s in statuses if s["returncode"] != 0]
     print(f"{len(statuses) - len(failures)}/{len(statuses)} runs ok")
     return 1 if failures else 0

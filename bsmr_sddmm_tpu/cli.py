@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--evaluate", action="store_true",
                    help="append reordered-vs-original tiling statistics "
                         "to the log (reference evaluationReordering)")
+    p.add_argument("--fast-bench", action="store_true",
+                   help="skip the separately-timed CSR-order emission "
+                        "(one fewer compile per shape bucket; the rphm "
+                        "headline timing and validation still run)")
     p.add_argument("--auto-delta", action="store_true",
                    help="pick delta per matrix from the measured cost "
                         "model instead of -d")
@@ -89,7 +93,7 @@ def main(argv=None) -> int:
         B = make_dense(args.k, csr.cols, seed=1338)
         delta = "auto" if args.auto_delta else None
         log = pipe.benchmark(A, B, delta=delta, validate=args.validate,
-                             file=name)
+                             time_csr_emit=not args.fast_bench, file=name)
         if args.evaluate:
             from bsmr_sddmm_tpu.evaluate import evaluate_reordering
             ev = evaluate_reordering(csr, cfg.replace(delta=log.delta))
@@ -109,7 +113,9 @@ def main(argv=None) -> int:
                 B = make_dense(k, csr.cols, seed=1338)
                 pipe.config = cfg.replace(k=k)
                 log = pipe.benchmark(A, B, alpha=alpha, delta=delta,
-                                     validate=args.validate, file=name)
+                                     validate=args.validate,
+                                     time_csr_emit=not args.fast_bench,
+                                     file=name)
                 emit(log, f"BSMR_k_{k}_a_{alpha}_d_{delta}")
                 if args.validate and log.check_result != "pass":
                     failures += 1

@@ -331,3 +331,21 @@ def test_dense_fallback_autotune():
     # small-and-dense: the sampled-dot arm must win
     small = random_mask(rows=1024, cols=1024, nnz=150_000, seed=4)
     assert BsmrSddmm(small, cfg).choose().use_dense
+
+
+def test_replica_manifest_and_generators():
+    """Manifest covers the reference's 503 matrices; generators produce
+    shape-matched masks (nnz within 25%, exact M/N)."""
+    from bsmr_sddmm_tpu.replicas import (load_manifest, make_replica,
+                                         select_suite)
+    specs = load_manifest()
+    assert len(specs) == 503
+    assert all(s.ref_bsmr_gflops.get(128, 0) > 0 for s in specs)
+    sel = select_suite(count=30, max_nnz=2_000_000)
+    assert len(sel) >= 30
+    regimes = {s.regime for s in sel}
+    assert regimes == {"mesh", "opt", "graph"}
+    for s in sel[:2] + sel[-2:]:
+        csr = make_replica(s)
+        assert (csr.rows, csr.cols) == (s.m, s.n)
+        assert abs(csr.nnz - s.nnz) / s.nnz < 0.25, (s.name, csr.nnz)
