@@ -115,10 +115,11 @@ class SddmmConfig:
 
     # Max dense tiles fused per grid step in bsr mode ("fat steps"): G
     # same-column-block tiles share one B DMA and one (G*ph, bw) MXU
-    # matmul, amortizing the ~100 ns/step pipeline overhead. The packer
-    # picks G = min(this, pow2(median same-cblock run)) so padding stays
-    # small on matrices with few tiles per block. 1 disables.
-    dense_fat_group: int = 8
+    # matmul, amortizing the ~210 ns/step pipeline overhead (measured
+    # 78/67/58 ns/tile at G=8/16/32 on v5e). The packer picks the G
+    # minimizing padded-tiles x per-tile-cost over the plan's actual
+    # same-cblock run lengths. 1 disables.
+    dense_fat_group: int = 32
 
     # --- execution --------------------------------------------------------
     # "auto"   : pallas on TPU, xla elsewhere.
