@@ -26,11 +26,13 @@ from bsmr_sddmm_tpu.reorder import BsmrReordering, split_columns
 
 #: Measured v5e tier costs (PERF.md): ns per unit.
 V5E_COSTS = dict(
-    dense_tile_ns=130.0,      # 1-tile/step pipeline cost
-    fat_discount=0.45,        # fat steps amortize per-step overhead
-    gathered_tile_ns=530.0,   # 128-row gather + batched MXU matmul
+    # dense fat step: per-tile cost = floor + step_overhead / G
+    # (measured 78/67/58 ns/tile at G=8/16/32)
+    dense_tile_floor_ns=52.0,
+    dense_step_overhead_ns=208.0,
+    gathered_tile_ns=470.0,   # 128-row gather + batched MXU matmul
     gathered_tile_big_ns=1100.0,  # past the >64MB gather cliff (windowed)
-    pernnz_ns=5.3,            # two row gathers + VPU reduce
+    pernnz_ns=5.8,            # two row gathers + VPU reduce
     pernnz_big_ns=9.0,        # big-operand windowed tail
     fixed_us=150.0,           # dispatch / A-permute / padding floor
     mxu_tflops=55.0,          # bf16x3 effective fp32-class matmul rate
@@ -61,8 +63,8 @@ def estimate_plan_ms(plan: TilePlan,
                      costs: dict = V5E_COSTS) -> float:
     """Predicted kernel time (rphm emit) for one packed plan."""
     big = plan.window_rows is not None
-    dense_ns = costs["dense_tile_ns"] * (
-        costs["fat_discount"] if plan.fat_group > 1 else 1.0)
+    dense_ns = (costs["dense_tile_floor_ns"]
+                + costs["dense_step_overhead_ns"] / max(plan.fat_group, 1))
     g_ns = costs["gathered_tile_big_ns" if big else "gathered_tile_ns"]
     e_ns = costs["pernnz_big_ns" if big else "pernnz_ns"]
     total_ns = (plan.tile_panel.shape[0] * dense_ns
@@ -192,8 +194,10 @@ def calibrate(store: bool = True) -> dict:
     ms, plan = tier_ms(csr, cfg, "dense", 0.02)
     if plan.tile_panel.shape[0]:
         per = ms * 1e6 / plan.tile_panel.shape[0]
-        costs["dense_tile_ns"] = per / (
-            costs["fat_discount"] if plan.fat_group > 1 else 1.0)
+        # refit the floor, keeping the measured step-overhead slope
+        costs["dense_tile_floor_ns"] = max(
+            per - costs["dense_step_overhead_ns"] / max(plan.fat_group, 1),
+            1.0)
     # 2. gathered tiles: uniform-ish mask, low tile cutoff
     cfg_g = cfg.replace(residual_tile_min_nnz=16)
     csr = random_mask(8192, 8192, 600_000, seed=4)
@@ -210,6 +214,6 @@ def calibrate(store: bool = True) -> dict:
     if store and jax.default_backend() != "cpu":
         with open(_cache_path(jax.devices()[0].device_kind), "w") as f:
             json.dump({k: costs[k] for k in
-                       ("dense_tile_ns", "gathered_tile_ns",
+                       ("dense_tile_floor_ns", "gathered_tile_ns",
                         "pernnz_ns")}, f)
     return costs
