@@ -28,6 +28,8 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 
@@ -48,19 +50,24 @@ struct InvertedIndex {
     // unchanged — assigned rows were never candidates.
     std::vector<int64_t> ptr;   // (nblocks+1)
     std::vector<int64_t> rows;  // (total entries, mutable order)
+    std::vector<double> vals;   // row's normalized value in that block
     std::vector<int64_t> live;  // (nblocks) current live end per block
 
     InvertedIndex(int64_t R, const int64_t* indptr, const int32_t* indices,
-                  int64_t nblocks) {
+                  const double* data_hat, int64_t nblocks) {
         ptr.assign(nblocks + 1, 0);
         const int64_t total = indptr[R];
         for (int64_t i = 0; i < total; ++i) ptr[indices[i] + 1]++;
         for (int64_t b = 0; b < nblocks; ++b) ptr[b + 1] += ptr[b];
         rows.assign(total, 0);
+        vals.assign(total, 0.0);
         std::vector<int64_t> cursor(ptr.begin(), ptr.end() - 1);
         for (int64_t r = 0; r < R; ++r)
-            for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i)
-                rows[cursor[indices[i]]++] = r;
+            for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+                const int64_t c = cursor[indices[i]]++;
+                rows[c] = r;
+                vals[c] = data_hat ? data_hat[i] : 0.0;
+            }
         live.assign(ptr.begin() + 1, ptr.end());
     }
 };
@@ -71,14 +78,21 @@ struct InvertedIndex {
 // than testing them. Assigned rows are compacted out of the walked lists
 // (rows processed before the current rep are always assigned, so the
 // old `r <= rep` skip is subsumed by the assigned check).
+// `shared` (when non-null, length R) accumulates per candidate the EXACT
+// smin contribution of the walked blocks: sum_b min(acc[b], row_val[b]).
+// With the unscanned-suffix mass S this yields a sound upper bound
+// smin <= shared[r] + S that rejects most candidates without a dot.
 void collect_candidates(InvertedIndex& idx, const int32_t* blocks,
                         int64_t n_blocks,
                         const std::vector<uint8_t>& assigned,
                         std::vector<int64_t>& stamp, int64_t marker,
-                        int64_t rep, std::vector<int64_t>& out) {
+                        int64_t rep, std::vector<int64_t>& out,
+                        const std::vector<double>* acc = nullptr,
+                        std::vector<double>* shared = nullptr) {
     (void)rep;
     for (int64_t i = 0; i < n_blocks; ++i) {
         const int64_t b = blocks[i];
+        const double a = acc ? (*acc)[b] : 0.0;
         int64_t p = idx.ptr[b];
         int64_t end = idx.live[b];
         while (p < end) {
@@ -86,18 +100,26 @@ void collect_candidates(InvertedIndex& idx, const int32_t* blocks,
             if (assigned[r]) {
                 idx.rows[p] = idx.rows[end - 1];
                 idx.rows[end - 1] = r;
+                std::swap(idx.vals[p], idx.vals[end - 1]);
                 --end;
                 continue;
             }
             if (stamp[r] != marker) {
                 stamp[r] = marker;
                 out.push_back(r);
+                if (shared) (*shared)[r] = 0.0;
+            }
+            if (shared) {
+                const double v = idx.vals[p];
+                (*shared)[r] += a < v ? a : v;
             }
             ++p;
         }
         idx.live[b] = end;
     }
 }
+
+int64_t g_collected = 0, g_tested = 0, g_dotwork = 0;
 
 }  // namespace
 
@@ -120,10 +142,11 @@ int64_t bsmr_cluster_fast(int64_t R, const int64_t* indptr,
                           const int32_t* indices, const double* data_hat,
                           const double* l1_hat, int64_t nblocks,
                           double alpha, int64_t* cluster_out) {
-    InvertedIndex idx(R, indptr, indices, nblocks);
+    InvertedIndex idx(R, indptr, indices, data_hat, nblocks);
     std::vector<uint8_t> assigned(R, 0);
     std::vector<int64_t> stamp(R, -1);
     std::vector<double> acc(nblocks, 0.0);
+    std::vector<double> shared(R, 0.0);
     std::vector<int64_t> cand;
     std::vector<int64_t> blk_order;
     std::vector<int32_t> scan_blocks;
@@ -164,17 +187,30 @@ int64_t bsmr_cluster_fast(int64_t R, const int64_t* indptr,
         cand.clear();
         collect_candidates(idx, scan_blocks.data(),
                            static_cast<int64_t>(scan_blocks.size()),
-                           assigned, stamp, rep, rep, cand);
+                           assigned, stamp, rep, rep, cand,
+                           &acc, &shared);
         const int64_t n_c = static_cast<int64_t>(cand.size());
+        g_collected += n_c;
         hit.assign(n_c, 0);
 #pragma omp parallel for schedule(dynamic, 256) if (n_c > 512)
         for (int64_t j = 0; j < n_c; ++j) {
             const int64_t r = cand[j];
-            // sim <= min(l1a, l1r) / max(l1a, l1r): skip outside the band
-            const double lo = acc_l1 < l1_hat[r] ? acc_l1 : l1_hat[r];
-            const double hi = acc_l1 < l1_hat[r] ? l1_hat[r] : acc_l1;
-            if (hi <= 0.0 || lo / hi <= alpha) continue;
+            // sound upper bound from the walk: smin <= shared[r] + suffix
+            // (shared = exact smin over scanned blocks; the candidate's
+            // overlap with the rep's unscanned blocks is <= their mass)
+            const double bound = shared[r] + suffix;
+            const double den_lb = acc_l1 + l1_hat[r] - bound;
+            if (den_lb <= 0.0 || bound / den_lb <= alpha) continue;
+            if (suffix <= 0.0) {
+                // every rep block was scanned: shared IS the exact smin
+                const double smin = shared[r];
+                const double smax = acc_l1 + l1_hat[r] - smin;
+                hit[j] = (smax > 0.0 && smin / smax > alpha) ? 1 : 0;
+                continue;
+            }
             const int64_t b = indptr[r], e = indptr[r + 1];
+            g_tested += 1;
+            g_dotwork += e - b;
             double smin = 0.0;
             for (int64_t i = b; i < e; ++i) {
                 const double a = acc[indices[i]];
@@ -193,6 +229,13 @@ int64_t bsmr_cluster_fast(int64_t R, const int64_t* indptr,
         for (int64_t i = rb; i < re; ++i) acc[indices[i]] = 0.0;
         ++cid;
     }
+    if (std::getenv("BSMR_CLUSTER_STATS")) {
+        std::fprintf(stderr,
+                     "[cluster_fast] reps=%lld collected=%lld "
+                     "band_tested=%lld dot_flops~=%lld\n",
+                     (long long)cid, (long long)g_collected,
+                     (long long)g_tested, (long long)g_dotwork);
+    }
     return cid;
 }
 
@@ -209,7 +252,7 @@ int64_t bsmr_cluster_exact(int64_t R, const int64_t* indptr,
                            const double* data_hat, const double* l1_hat,
                            int64_t nblocks, double alpha,
                            int64_t* cluster_out) {
-    InvertedIndex idx(R, indptr, indices, nblocks);
+    InvertedIndex idx(R, indptr, indices, nullptr, nblocks);
     std::vector<uint8_t> assigned(R, 0);
     std::vector<int64_t> stamp(R, -1);
     std::vector<double> acc(nblocks, 0.0);
