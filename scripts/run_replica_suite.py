@@ -1,15 +1,18 @@
 """Round-2 hardware suite: >=30 shape-matched SuiteSparse replicas at
-K=128 through the standard harness chain (generate .mtx -> bsmr-run-suite
--> bsmr-analyze), mirroring the reference's committed-results methodology
-(scripts/results_suiteSparse_dataset/k128/)."""
+K=128, mirroring the reference's committed-results methodology
+(scripts/results_suiteSparse_dataset/k128/).
+
+Runs IN-PROCESS by default: on this environment the first Pallas/Mosaic
+compile in a fresh process pays a ~6-minute tunnel warmup, which makes
+the subprocess-per-matrix harness (bsmr-run-suite, the reference's
+test_script.sh semantics — still available via --isolate) impractical
+for a 30+-matrix sweep. Logs use the same append-only [key : value]
+schema either way, so bsmr-analyze consumes them identically.
+"""
 import argparse
 import os
 import sys
-
-from bsmr_sddmm_tpu.formats import save_mtx
-from bsmr_sddmm_tpu.replicas import load_manifest, make_replica, \
-    select_suite
-from bsmr_sddmm_tpu.bench.runner import run_suite
+import time
 
 
 def main() -> int:
@@ -20,32 +23,125 @@ def main() -> int:
     p.add_argument("--log-dir", default="/tmp/replica_logs")
     p.add_argument("--deltas", type=float, nargs="*",
                    default=[0.002, 0.02])
-    p.add_argument("--baselines", nargs="*",
-                   default=["bcoo", "gather_dot"])
+    p.add_argument("--baselines", nargs="*", default=["gather_dot"])
+    p.add_argument("--bcoo-max-n", type=int, default=20000,
+                   help="also run the bcoo baseline on matrices with "
+                        "N below this (its XLA compile is minutes-slow "
+                        "at large N)")
+    p.add_argument("--isolate", action="store_true",
+                   help="subprocess-per-run via bsmr-run-suite")
     p.add_argument("--timeout", type=float, default=1200.0)
     args = p.parse_args()
 
+    from bsmr_sddmm_tpu.formats import save_mtx
+    from bsmr_sddmm_tpu.replicas import make_replica, select_suite
+
     specs = select_suite(count=args.count, max_nnz=args.max_nnz)
     os.makedirs(args.dataset_dir, exist_ok=True)
-    paths = []
-    for s in specs:
-        path = os.path.join(args.dataset_dir, f"{s.name}.mtx")
-        if not os.path.exists(path):
-            csr = make_replica(s)
-            save_mtx(path, csr)
-            print(f"generated {s.name}: {csr.rows}x{csr.cols} "
-                  f"nnz={csr.nnz} ({s.regime})", flush=True)
-        paths.append(path)
+    os.makedirs(args.log_dir, exist_ok=True)
 
-    statuses = run_suite(paths, args.log_dir, ks=(128,), alphas=(0.3,),
-                         deltas=tuple(args.deltas),
-                         baselines=args.baselines, backend="auto",
-                         validate=True, fast_bench=True,
-                         timeout_s=args.timeout)
-    bad = [s for s in statuses if s["returncode"] != 0]
-    print(f"{len(statuses) - len(bad)}/{len(statuses)} runs ok")
-    for s in bad:
-        print("FAILED:", s)
+    if args.isolate:
+        from bsmr_sddmm_tpu.bench.runner import run_suite
+        paths = []
+        for s in specs:
+            path = os.path.join(args.dataset_dir, f"{s.name}.mtx")
+            if not os.path.exists(path):
+                save_mtx(path, make_replica(s))
+            paths.append(path)
+        statuses = run_suite(paths, args.log_dir, ks=(128,),
+                             alphas=(0.3,), deltas=tuple(args.deltas),
+                             baselines=args.baselines, backend="auto",
+                             validate=True, fast_bench=True,
+                             timeout_s=args.timeout)
+        bad = [s for s in statuses if s["returncode"] != 0]
+        print(f"{len(statuses) - len(bad)}/{len(statuses)} runs ok")
+        return 1 if bad else 0
+
+    # in-process: one tunnel warmup for the whole sweep
+    from bsmr_sddmm_tpu.baselines import benchmark_baseline
+    from bsmr_sddmm_tpu.config import SddmmConfig
+    from bsmr_sddmm_tpu.formats import make_dense
+    from bsmr_sddmm_tpu.sddmm import BsmrSddmm
+
+    K = 128
+    n_fail = 0
+
+    def with_retry(fn, what, tries=4):
+        import time as _t
+        for attempt in range(tries):
+            try:
+                return fn()
+            except Exception as e:
+                msg = repr(e)
+                transient = ("FAILED_PRECONDITION" in msg
+                             or "INTERNAL" in msg or "UNAVAILABLE" in msg)
+                if not transient or attempt == tries - 1:
+                    raise
+                wait = 120 * (attempt + 1)
+                print(f"    {what}: transient device error, retry in "
+                      f"{wait}s ({msg[:80]})", flush=True)
+                _t.sleep(wait)
+
+    for i, s in enumerate(specs):
+        name = f"{s.name}.mtx"
+        t0 = time.time()
+        csr = make_replica(s)
+        A = make_dense(csr.rows, K, seed=1337)
+        B = make_dense(K, csr.cols, seed=1338)
+        cfg = SddmmConfig(k=K, panel_height=32, num_iterations=10)
+        pipe = BsmrSddmm(csr, cfg)
+        logpath = os.path.join(args.log_dir, f"BSMR_{s.name}.log")
+        for delta in args.deltas:
+            try:
+                log = with_retry(
+                    lambda: pipe.benchmark(A, B, alpha=0.3, delta=delta,
+                                           validate=True,
+                                           time_csr_emit=False,
+                                           file=name),
+                    f"{s.name} d={delta}")
+                with open(logpath, "a") as f:
+                    f.write(log.to_text())
+                ok = log.check_result == "pass"
+                n_fail += 0 if ok else 1
+                print(f"[{i+1}/{len(specs)} {s.name} d={delta}] "
+                      f"{log.gflops:.0f} GFLOPS "
+                      f"({log.sddmm_ms:.3f} ms) check="
+                      f"{log.check_result} ref={s.ref_bsmr_gflops.get(K)}"
+                      f" {time.time()-t0:.0f}s", flush=True)
+            except Exception as e:     # keep sweeping (per-matrix isolation)
+                n_fail += 1
+                print(f"[{i+1}/{len(specs)} {s.name} d={delta}] "
+                      f"FAILED: {e!r}", flush=True)
+        for base in args.baselines:
+            if base == "bcoo" and csr.cols > args.bcoo_max_n:
+                continue
+            try:
+                blog = with_retry(
+                    lambda: benchmark_baseline(base, csr, A, B,
+                                               validate=True, file=name),
+                    f"{s.name} {base}")
+                with open(os.path.join(args.log_dir,
+                                       f"{base}_{s.name}.log"), "a") as f:
+                    f.write(blog.to_text())
+                print(f"    {base}: {blog.gflops:.0f} GFLOPS "
+                      f"check={blog.check_result}", flush=True)
+            except Exception as e:
+                print(f"    {base} FAILED: {e!r}", flush=True)
+        if base_needed := ("bcoo" not in args.baselines
+                           and csr.cols <= args.bcoo_max_n):
+            try:
+                blog = with_retry(
+                    lambda: benchmark_baseline("bcoo", csr, A, B,
+                                               validate=True, file=name),
+                    f"{s.name} bcoo")
+                with open(os.path.join(args.log_dir,
+                                       f"bcoo_{s.name}.log"), "a") as f:
+                    f.write(blog.to_text())
+                print(f"    bcoo: {blog.gflops:.0f} GFLOPS "
+                      f"check={blog.check_result}", flush=True)
+            except Exception as e:
+                print(f"    bcoo FAILED: {e!r}", flush=True)
+    print(f"done; {n_fail} failures")
     return 0
 
 
