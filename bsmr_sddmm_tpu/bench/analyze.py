@@ -51,6 +51,12 @@ class MatrixResult:
     row_reordering_ms: float = 0.0
     col_reordering_ms: float = 0.0
     pack_ms: float = 0.0
+    # measured per-tier split (benchmark(tier_times=True); the analogue
+    # of the reference's overlap-efficiency line, sddmmKernel.cu:2834-2844)
+    tier_dense_ms: float = 0.0
+    tier_gathered_ms: float = 0.0
+    tier_residual_ms: float = 0.0
+    tier_overlap_efficiency: float = 0.0
 
 
 def _f(rec: Dict[str, str], key: str, default: float = 0.0) -> float:
@@ -92,6 +98,10 @@ def record_to_result(rec: Dict[str, str]) -> Optional[MatrixResult]:
         row_reordering_ms=_f(rec, "bsmr_rowReordering"),
         col_reordering_ms=_f(rec, "bsmr_colReordering"),
         pack_ms=_f(rec, "rphm"),
+        tier_dense_ms=_f(rec, "tier_dense_ms"),
+        tier_gathered_ms=_f(rec, "tier_gathered_ms"),
+        tier_residual_ms=_f(rec, "tier_residual_ms"),
+        tier_overlap_efficiency=_f(rec, "tier_overlap_efficiency"),
     )
 
 
@@ -167,6 +177,12 @@ def analyze_logs(paths: Iterable[str], k: int) -> Analysis:
                        sparsity=round(bsmr.sparsity, 6),
                        alpha=bsmr.alpha, delta=bsmr.delta,
                        bsmr=round(bsmr.gflops, 3))
+            if bsmr.tier_overlap_efficiency:
+                row.update(
+                    tier_dense_ms=bsmr.tier_dense_ms,
+                    tier_gathered_ms=bsmr.tier_gathered_ms,
+                    tier_residual_ms=bsmr.tier_residual_ms,
+                    tier_overlap_efficiency=bsmr.tier_overlap_efficiency)
             per_method["bsmr"].append(bsmr.gflops)
             if bsmr.check_result != "untested":
                 checks["bsmr"].append(bsmr.check_result == "pass")

@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--evaluate", action="store_true",
                    help="append reordered-vs-original tiling statistics "
                         "to the log (reference evaluationReordering)")
+    p.add_argument("--tier-times", action="store_true",
+                   help="measure and log the per-tier time split "
+                        "(dense/gathered/residual ms + overlap "
+                        "efficiency; three extra compiles)")
     p.add_argument("--fast-bench", action="store_true",
                    help="skip the separately-timed CSR-order emission "
                         "(one fewer compile per shape bucket; the rphm "
@@ -93,7 +97,8 @@ def main(argv=None) -> int:
         B = make_dense(args.k, csr.cols, seed=1338)
         delta = "auto" if args.auto_delta else None
         log = pipe.benchmark(A, B, delta=delta, validate=args.validate,
-                             time_csr_emit=not args.fast_bench, file=name)
+                             time_csr_emit=not args.fast_bench,
+                             tier_times=args.tier_times, file=name)
         if args.evaluate:
             from bsmr_sddmm_tpu.evaluate import evaluate_reordering
             ev = evaluate_reordering(csr, cfg.replace(delta=log.delta))
