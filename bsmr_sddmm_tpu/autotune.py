@@ -46,7 +46,7 @@ V5E_COSTS = dict(
     sampled_dot_tflops=13.0,
 )
 
-DELTA_CANDIDATES = (0.006, 0.02, 0.05, 0.15, 0.3)
+DELTA_CANDIDATES = (0.002, 0.006, 0.02, 0.05, 0.15, 0.3)
 
 
 def estimate_dense_ms(rows: int, cols: int, nnz: int, k: int,
