@@ -33,7 +33,7 @@ ALPHAS = (0.3,)
 # banded, 0.006 wins community/rmat). Sweep the TPU regime; K=128 gets
 # the full grid, other K a 2-point grid to bound wall time.
 DELTAS_128 = (0.002, 0.006, 0.02)
-DELTAS_OTHER = (0.006, 0.02)
+DELTAS_OTHER = (0.002, 0.006, 0.02)
 # skip plans whose device-resident maps exceed this (the tile scatter map
 # costs 16 KB/tile regardless of K; a 262k-row power-law mask at delta
 # 0.002 packs ~150k mostly-empty tiles = a multi-GB upload through the

@@ -179,22 +179,26 @@ def time_rphm_inprogram(body: Callable, A, Bt, dplan,
                                      jnp.float32(0.0))
         return jax.jit(fn)
 
+    def timed_batches(fn_rep, reps, n_batches=2):
+        # min over batches: transient tunnel/device hiccups only ever
+        # INFLATE a batch (a single spiked pilot once reported 18 ms for
+        # a 1.2 ms kernel)
+        ts = []
+        for _ in range(n_batches):
+            t0 = time.perf_counter()
+            force(fn_rep(A, Bt, dplan))
+            ts.append(time.perf_counter() - t0)
+        return (min(ts) - _rtt()) / reps * 1e3
+
     # pilot: estimate per-call cost with a small in-program batch
     pilot_reps = max(iterations, 4)
     f = make_rep(pilot_reps)
     force(f(A, Bt, dplan))  # compile + warm
-    t0 = time.perf_counter()
-    force(f(A, Bt, dplan))
-    pilot = (time.perf_counter() - t0 - _rtt()) / pilot_reps
-    pilot = max(pilot, 1e-6)
+    pilot_ms = timed_batches(f, pilot_reps)
+    pilot = max(pilot_ms / 1e3, 1e-6)
     reps = int(min(max(pilot_reps, target_s / pilot), 4096))
     if reps <= pilot_reps * 1.5:
-        return pilot * 1e3
+        return pilot_ms
     g = make_rep(reps)
     force(g(A, Bt, dplan))
-    ts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        force(g(A, Bt, dplan))
-        ts.append(time.perf_counter() - t0)
-    return (min(ts) - _rtt()) / reps * 1e3
+    return timed_batches(g, reps)
