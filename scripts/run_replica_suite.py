@@ -31,6 +31,7 @@ def main() -> int:
     p.add_argument("--isolate", action="store_true",
                    help="subprocess-per-run via bsmr-run-suite")
     p.add_argument("--timeout", type=float, default=1200.0)
+    p.add_argument("-k", type=int, default=128)
     args = p.parse_args()
 
     from bsmr_sddmm_tpu.formats import save_mtx
@@ -48,7 +49,7 @@ def main() -> int:
             if not os.path.exists(path):
                 save_mtx(path, make_replica(s))
             paths.append(path)
-        statuses = run_suite(paths, args.log_dir, ks=(128,),
+        statuses = run_suite(paths, args.log_dir, ks=(args.k,),
                              alphas=(0.3,), deltas=tuple(args.deltas),
                              baselines=args.baselines, backend="auto",
                              validate=True, fast_bench=True,
@@ -63,7 +64,7 @@ def main() -> int:
     from bsmr_sddmm_tpu.formats import make_dense
     from bsmr_sddmm_tpu.sddmm import BsmrSddmm
 
-    K = 128
+    K = args.k
     n_fail = 0
 
     def with_retry(fn, what, tries=4):

@@ -349,3 +349,27 @@ def test_replica_manifest_and_generators():
         csr = make_replica(s)
         assert (csr.rows, csr.cols) == (s.m, s.n)
         assert abs(csr.nnz - s.nnz) / s.nnz < 0.25, (s.name, csr.nnz)
+
+
+def test_inprogram_timer_runs_on_cpu():
+    """time_rphm_inprogram's fori-wrapped repetition must trace/execute
+    (backend-agnostic); on CPU the XLA body runs under interpret-free
+    paths and the returned per-call ms is positive."""
+    import jax.numpy as jnp
+    from bsmr_sddmm_tpu.config import SddmmConfig
+    from bsmr_sddmm_tpu.ops.sddmm import device_plan, make_sddmm_body
+    from bsmr_sddmm_tpu.pack import pack_tiles
+    from bsmr_sddmm_tpu.reorder import bsmr
+    from bsmr_sddmm_tpu.utils.timing import time_rphm_inprogram
+
+    csr = random_mask(256, 384, 4000, seed=4, block_rows=16, block_cols=64)
+    cfg = SddmmConfig(k=32, panel_height=16, dense_chunk=16,
+                      residual_chunk=1024)
+    plan = pack_tiles(csr, bsmr(csr, cfg), cfg)
+    body = make_sddmm_body(plan, cfg, emit="rphm")
+    A = jnp.ones((csr.rows, 32), jnp.float32)
+    Bt = jnp.ones((csr.cols, 32), jnp.float32)
+    ms = time_rphm_inprogram(body, A, Bt, device_plan(plan),
+                             dense_opaque=False, target_s=0.01,
+                             iterations=2)
+    assert ms > 0
