@@ -19,7 +19,7 @@ from bsmr_sddmm_tpu.replicas import load_manifest
 def main() -> int:
     log_dir = sys.argv[1] if len(sys.argv) > 1 else "results/v5e_r2/logs"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "results/v5e_r2"
-    k = 128
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 128
     results = parse_log_files(sorted(glob.glob(os.path.join(log_dir,
                                                             "*.log"))))
     best = best_per_matrix(results)
@@ -84,7 +84,7 @@ def main() -> int:
         summary[f"geomean_bsmr_{regime}"] = round(
             geomean([r.get("bsmr") for r in sub]), 1)
         summary[f"n_{regime}"] = len(sub)
-    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+    with open(os.path.join(out_dir, f"summary_{k}.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary, indent=1))
     print("wrote", csv_path)
