@@ -19,7 +19,7 @@ import numpy as np
 
 from bsmr_sddmm_tpu.formats import CSR
 from bsmr_sddmm_tpu.ops.graph_rphm import make_spmm_rphm
-from bsmr_sddmm_tpu.ops.sddmm import DevicePlan, device_plan
+from bsmr_sddmm_tpu.ops.sddmm import device_plan
 from bsmr_sddmm_tpu.pack import TilePlan
 
 

@@ -72,7 +72,6 @@ def sddmm_weak_scaling(device_counts: Sequence[int],
     Returns the weak_scaling() dict. On a virtual CPU mesh this validates
     the scaling *structure* (per-shard shapes constant, no combine in the
     hot path); on real chips it measures ICI-relative efficiency."""
-    import jax.numpy as jnp
     from bsmr_sddmm_tpu.config import SddmmConfig
     from bsmr_sddmm_tpu.datasets import banded
     from bsmr_sddmm_tpu.formats import make_dense

@@ -128,8 +128,7 @@ def main() -> int:
                       f"check={blog.check_result}", flush=True)
             except Exception as e:
                 print(f"    {base} FAILED: {e!r}", flush=True)
-        if base_needed := ("bcoo" not in args.baselines
-                           and csr.cols <= args.bcoo_max_n):
+        if "bcoo" not in args.baselines and csr.cols <= args.bcoo_max_n:
             try:
                 blog = with_retry(
                     lambda: benchmark_baseline("bcoo", csr, A, B,
