@@ -42,7 +42,6 @@ def make_edge_softmax_rphm(plan: TilePlan) -> Callable:
     ph = plan.panel_height
     nnz = plan.nnz
     n_rows = P * ph
-    tile_panel_np = plan.tile_panel  # (T,) flat (fat layouts stay flat)
 
     def fn(dense: jax.Array, gathered: jax.Array, res: jax.Array,
            dplan: DevicePlan):
