@@ -25,15 +25,19 @@ import numpy as np
 
 
 KS = (32, 64, 128, 256)
-ALPHAS = (0.3,)
+# Best-over-(alpha x delta) per matrix, the reference's committed
+# methodology (scripts/analyze_results.cpp:316-331). Row reordering is
+# cached per alpha inside BsmrSddmm; alphas whose row permutation equals
+# an already-swept alpha's are skipped (banded matrices cluster the same
+# at every alpha — no point re-timing identical plans).
+ALPHAS = (0.1, 0.3, 0.5)
 # TPU break-even: a zero-gather BSR tile costs ~80 ns on v5e vs ~5.3 ns
 # per per-nnz residual entry, so a (panel, cblock) pair is worth tiling
 # from ~15-24 nonzeros = delta ~0.002-0.006 at 32x128 — far below the GPU
 # reference's 0.3 sweet spot (measured round 2: 0.002 beats 0.02 on
-# banded, 0.006 wins community/rmat). Sweep the TPU regime; K=128 gets
-# the full grid, other K a 2-point grid to bound wall time.
-DELTAS_128 = (0.002, 0.006, 0.02)
-DELTAS_OTHER = (0.002, 0.006, 0.02)
+# banded, 0.006 wins community/rmat). Every K sweeps the same 3-point
+# TPU-regime grid.
+DELTAS = (0.002, 0.006, 0.02)
 # skip plans whose device-resident maps exceed this (the tile scatter map
 # costs 16 KB/tile regardless of K; a 262k-row power-law mask at delta
 # 0.002 packs ~150k mostly-empty tiles = a multi-GB upload through the
@@ -55,13 +59,19 @@ def main() -> int:
         csr = gen()
         cfg = SddmmConfig(k=128, panel_height=32, num_iterations=10)
         pipe = BsmrSddmm(csr, cfg)
+        # dedup alphas that reorder identically (their plans are identical)
+        alphas, seen_perms = [], set()
+        for alpha in ALPHAS:
+            key = hash(pipe._row_reordering(alpha).row_perm.tobytes())
+            if key not in seen_perms:
+                seen_perms.add(key)
+                alphas.append(alpha)
         for K in KS:
             A = make_dense(csr.rows, K, seed=1337)
             B = make_dense(K, csr.cols, seed=1338)
-            deltas = DELTAS_128 if K == 128 else DELTAS_OTHER
             per_matrix = 0.0
-            for alpha in ALPHAS:
-                for delta in deltas:
+            for alpha in alphas:
+                for delta in DELTAS:
                     plan = pipe.plan(alpha, delta, k=K)
                     plan_bytes = 4 * (
                         plan.tile_scatter.size + plan.g_scatter.size
@@ -79,8 +89,18 @@ def main() -> int:
                           f"k={K}: {log.gflops:.0f} GFLOPS "
                           f"({log.sddmm_ms:.3f} ms, dense {log.dense_nnz},"
                           f" gath {log.gathered_nnz}, "
-                          f"res {log.residual_nnz})", file=sys.stderr,
-                          flush=True)
+                          f"res {log.residual_nnz}, "
+                          f"fill {log.average_tile_density:.4f})",
+                          file=sys.stderr, flush=True)
+            if per_matrix == 0.0:
+                # every delta skipped by the plan-size guard: fall back to
+                # the dense-fallback arm so the geomean reflects a real
+                # run instead of silently cratering through the 1e-9 floor
+                log = pipe.benchmark(A, B, delta="dense", file=name)
+                per_matrix = log.gflops
+                print(f"# {name} k={K}: all tiled plans skipped -> "
+                      f"dense fallback {log.gflops:.0f} GFLOPS",
+                      file=sys.stderr, flush=True)
             best[K].append(per_matrix)
 
     def geomean(xs):

@@ -30,6 +30,10 @@ V5E_COSTS = dict(
     # (measured 78/67/58 ns/tile at G=8/16/32)
     dense_tile_floor_ns=52.0,
     dense_step_overhead_ns=208.0,
+    # sub-block packed tile: A panel + out tile + S contiguous (sw, K)
+    # B block DMAs (~96 KB total at ph=32/K=128/sw=32) — initial DMA
+    # estimate, refined by calibrate()
+    packed_tile_ns=300.0,
     gathered_tile_ns=470.0,   # 128-row gather + batched MXU matmul
     gathered_tile_big_ns=1100.0,  # past the >64MB gather cliff (windowed)
     pernnz_ns=5.8,            # two row gathers + VPU reduce
@@ -68,6 +72,7 @@ def estimate_plan_ms(plan: TilePlan,
     g_ns = costs["gathered_tile_big_ns" if big else "gathered_tile_ns"]
     e_ns = costs["pernnz_big_ns" if big else "pernnz_ns"]
     total_ns = (plan.tile_panel.shape[0] * dense_ns
+                + plan.num_packed * costs["packed_tile_ns"]
                 + plan.num_gathered * g_ns
                 + plan.num_residual * e_ns
                 + costs["fixed_us"] * 1e3)

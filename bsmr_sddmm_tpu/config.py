@@ -97,6 +97,21 @@ class SddmmConfig:
     # B-gather at the ~584M-descriptors/s rate + 16 KB output + MXU) vs
     # ~5.3 ns per per-nnz entry -> crossover ~96.
     residual_tile_min_nnz: int = 96
+
+    # --- sub-block packed tier ------------------------------------------
+    # The tile-fill lever (SURVEY.md section 7 hard part 1): qualifying
+    # subblock_width-wide *aligned* column sub-blocks of the same row
+    # panel are packed S = block_width/subblock_width side-by-side into
+    # one 128-lane tile. The B operand of a packed tile is S contiguous
+    # (subblock_width x K) slices of B^T — block DMAs (16 KB at sw=32,
+    # K=128; ~1 TB/s on v5e) instead of 512-byte row-gather descriptors —
+    # so fill rises ~S-fold at near-constant per-tile bytes. Entries land
+    # here when their (panel, sub-block) count reaches subpack_min_nnz
+    # and the enclosing 128-wide block did NOT meet delta (the dense BSR
+    # tier keeps truly dense natural blocks, whose contiguous-B reuse is
+    # cheaper still). 0 disables the tier.
+    subblock_width: int = 32
+    subpack_min_nnz: int = 12
     # B-gather windowing. Measured on v5e: row gathers from an operand
     # >64 MB collapse ~4.5x (394 -> 87 M rows/s at 128 MB — address-range
     # locality, index order does not matter). When B exceeds
@@ -159,6 +174,12 @@ class SddmmConfig:
             )
         if self.row_strategy not in ("exact", "fast", "none"):
             raise ValueError(f"unknown row_strategy {self.row_strategy!r}")
+        if self.subpack_min_nnz and (
+                self.subblock_width <= 0
+                or self.block_width % self.subblock_width):
+            raise ValueError(
+                f"subblock_width ({self.subblock_width}) must divide "
+                f"block_width ({self.block_width})")
         if self.col_mode not in ("bsr", "reorder"):
             raise ValueError(f"unknown col_mode {self.col_mode!r}")
         if self.residual_mode not in ("gathered", "pernnz"):

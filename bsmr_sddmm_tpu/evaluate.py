@@ -31,6 +31,8 @@ class ReorderingEvaluation:
     residual_nnz: int
     average_density: float
     average_density_original: float
+    packed_nnz: int = 0            # sub-block packed tier coverage
+    num_packed_blocks: int = 0
 
     @property
     def dense_block_gain(self) -> float:
@@ -40,8 +42,10 @@ class ReorderingEvaluation:
 
     @property
     def dense_coverage(self) -> float:
-        total = self.dense_nnz + self.gathered_nnz + self.residual_nnz
-        return self.dense_nnz / total if total else 0.0
+        """Fraction of nonzeros on an MXU-tile tier (BSR + packed)."""
+        mxu = self.dense_nnz + self.packed_nnz
+        total = mxu + self.gathered_nnz + self.residual_nnz
+        return mxu / total if total else 0.0
 
     def as_extras(self) -> Dict[str, str]:
         """Logger extras in the reference's key style."""
@@ -69,6 +73,11 @@ def evaluate_reordering(csr: CSR, config: SddmmConfig,
     if plan is None:
         plan = _tile_stats(csr, config)
     base = _tile_stats(csr, config.replace(row_strategy="none"))
+    # reference semantics: num_dense_blocks counts blocks MEETING DELTA
+    # (the BSR tier; BSMR.cpp:826-930). The packed sub-block tier is
+    # reported separately — with it enabled, reordering quality shows up
+    # as HIGHER average density / fewer tiles for the same coverage, not
+    # necessarily more blocks.
     return ReorderingEvaluation(
         num_dense_blocks=plan.num_tiles,
         num_dense_blocks_original=base.num_tiles,
@@ -78,4 +87,6 @@ def evaluate_reordering(csr: CSR, config: SddmmConfig,
         residual_nnz=plan.residual_nnz,
         average_density=plan.average_tile_density,
         average_density_original=base.average_tile_density,
+        packed_nnz=plan.packed_nnz,
+        num_packed_blocks=plan.num_packed,
     )

@@ -119,8 +119,6 @@ void collect_candidates(InvertedIndex& idx, const int32_t* blocks,
     }
 }
 
-int64_t g_collected = 0, g_tested = 0, g_dotwork = 0;
-
 }  // namespace
 
 extern "C" {
@@ -151,6 +149,9 @@ int64_t bsmr_cluster_fast(int64_t R, const int64_t* indptr,
     std::vector<int64_t> blk_order;
     std::vector<int32_t> scan_blocks;
     std::vector<uint8_t> hit;
+    // per-call stats; the parallel loop accumulates via an OpenMP
+    // reduction (naked global += inside the loop was a data race)
+    int64_t g_collected = 0, g_tested = 0, g_dotwork = 0;
     int64_t cid = 0;
     int64_t next = 0;
     while (next < R) {
@@ -192,7 +193,8 @@ int64_t bsmr_cluster_fast(int64_t R, const int64_t* indptr,
         const int64_t n_c = static_cast<int64_t>(cand.size());
         g_collected += n_c;
         hit.assign(n_c, 0);
-#pragma omp parallel for schedule(dynamic, 256) if (n_c > 512)
+#pragma omp parallel for schedule(dynamic, 256) if (n_c > 512) \
+    reduction(+ : g_tested, g_dotwork)
         for (int64_t j = 0; j < n_c; ++j) {
             const int64_t r = cand[j];
             // sound upper bound from the walk: smin <= shared[r] + suffix

@@ -34,10 +34,22 @@ from bsmr_sddmm_tpu.pack import TilePlan
 _NEG = -1e30  # mask value; avoids inf-inf NaNs in empty rows
 
 
+def _dense_panel_scatter(plan: TilePlan, dplan: DevicePlan):
+    """The executed dense tier is [T BSR tiles | Tp packed sub-block
+    tiles]; return its combined (panel, scatter) device arrays. Tp == 0
+    returns the BSR arrays untouched (no copies)."""
+    Tp = plan.sp_panel.shape[0] if plan.sp_panel is not None else 0
+    if not Tp:
+        return dplan.tile_panel, dplan.tile_scatter
+    return (jnp.concatenate([dplan.tile_panel, dplan.sp_panel]),
+            jnp.concatenate([dplan.tile_scatter, dplan.sp_scatter]))
+
+
 def make_edge_softmax_rphm(plan: TilePlan) -> Callable:
     """Build ``fn(dense, gathered, res, dplan) -> (dense, gathered, res)``
     normalizing scores row-wise (numerically stable) entirely in the rphm
-    layout."""
+    layout. ``dense`` is the executed dense tier (T + Tp, ph, bw) — BSR
+    tiles then packed sub-block tiles."""
     P = max(plan.num_panels, 1)
     ph = plan.panel_height
     nnz = plan.nnz
@@ -45,7 +57,8 @@ def make_edge_softmax_rphm(plan: TilePlan) -> Callable:
 
     def fn(dense: jax.Array, gathered: jax.Array, res: jax.Array,
            dplan: DevicePlan):
-        d_valid = dplan.tile_scatter < nnz          # (T, ph, bw)
+        d_panel, d_scatter = _dense_panel_scatter(plan, dplan)
+        d_valid = d_scatter < nnz                   # (T+Tp, ph, bw)
         g_valid = dplan.g_scatter < nnz             # (Tg, ph, bw)
         r_valid = dplan.res_out < nnz               # (E,)
 
@@ -55,7 +68,7 @@ def make_edge_softmax_rphm(plan: TilePlan) -> Callable:
 
         # --- row max over (panel, local row) -----------------------------
         d_rowmax = jax.ops.segment_max(
-            d_masked.max(axis=2), dplan.tile_panel, num_segments=P)
+            d_masked.max(axis=2), d_panel, num_segments=P)
         g_rowmax = jax.ops.segment_max(
             g_masked.max(axis=2), dplan.g_panel, num_segments=P)
         r_rowmax = jax.ops.segment_max(
@@ -65,7 +78,7 @@ def make_edge_softmax_rphm(plan: TilePlan) -> Callable:
 
         # --- exp + row sum ------------------------------------------------
         d_exp = jnp.where(
-            d_valid, jnp.exp(dense - row_max[dplan.tile_panel][:, :, None]),
+            d_valid, jnp.exp(dense - row_max[d_panel][:, :, None]),
             0.0)
         g_exp = jnp.where(
             g_valid, jnp.exp(gathered - row_max[dplan.g_panel][:, :, None]),
@@ -75,14 +88,14 @@ def make_edge_softmax_rphm(plan: TilePlan) -> Callable:
             0.0)
 
         d_rowsum = jax.ops.segment_sum(
-            d_exp.sum(axis=2), dplan.tile_panel, num_segments=P)
+            d_exp.sum(axis=2), d_panel, num_segments=P)
         g_rowsum = jax.ops.segment_sum(
             g_exp.sum(axis=2), dplan.g_panel, num_segments=P)
         r_rowsum = jax.ops.segment_sum(
             r_exp, dplan.res_arow, num_segments=n_rows).reshape(P, ph)
         denom = jnp.maximum(d_rowsum + g_rowsum + r_rowsum, 1e-20)
 
-        return (d_exp / denom[dplan.tile_panel][:, :, None],
+        return (d_exp / denom[d_panel][:, :, None],
                 g_exp / denom[dplan.g_panel][:, :, None],
                 r_exp / denom.reshape(-1)[dplan.res_arow])
 
@@ -127,13 +140,18 @@ def make_spmm_rphm(plan: TilePlan, precision: str = "high") -> Callable:
     inv_pos[uniq] = first_idx
     inv_pos_dev = jnp.asarray(inv_pos, jnp.int32)
 
+    Tp = plan.sp_panel.shape[0] if plan.sp_panel is not None else 0
+    sw = plan.subblock_width
+    n_sb = -(-N // sw) if sw else 0
+
     def fn(dense: jax.Array, gathered: jax.Array, res: jax.Array,
            V: jax.Array, dplan: DevicePlan) -> jax.Array:
         F = V.shape[1]
+        d_panel, d_scatter = _dense_panel_scatter(plan, dplan)
         # zero trash/pad slots: their rphm values are whatever the padded
         # matmuls computed (edge_softmax_rphm zeroes them, but raw values
         # must be safe too)
-        dense = jnp.where(dplan.tile_scatter < nnz, dense, 0.0)
+        dense = jnp.where(d_scatter < nnz, dense, 0.0)
         gathered = jnp.where(dplan.g_scatter < nnz, gathered, 0.0)
         res = jnp.where(dplan.res_out < nnz, res, 0.0)
         Vp = jnp.pad(V.astype(jnp.float32),
@@ -147,11 +165,18 @@ def make_spmm_rphm(plan: TilePlan, precision: str = "high") -> Callable:
             # reorder mode: per-tile column gather from tile_cols
             vb = jnp.take(Vp, tile_cols.reshape(-1), axis=0) \
                 .reshape(-1, bw, F)
+        if Tp:
+            # packed sub-block tiles: V rows are S contiguous (sw, F)
+            # block slices, same layout as the SDDMM's B operand
+            V_sub = Vp[:n_sb * sw].reshape(n_sb, sw, F)
+            vb_pk = jnp.take(V_sub, dplan.sp_sub.reshape(-1), axis=0) \
+                .reshape(Tp, bw, F)
+            vb = jnp.concatenate([vb, vb_pk], axis=0)
         d_part = jax.lax.dot_general(
             dense, vb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             precision=prec,
-            preferred_element_type=jnp.float32)       # (T, ph, F)
-        out = jax.ops.segment_sum(d_part, dplan.tile_panel,
+            preferred_element_type=jnp.float32)       # (T+Tp, ph, F)
+        out = jax.ops.segment_sum(d_part, d_panel,
                                   num_segments=P)     # (P, ph, F)
 
         # gathered tier: V rows gathered per tile column
@@ -201,10 +226,15 @@ def make_spmm_transpose_rphm(plan: TilePlan,
     tile_cols = None if bsr_mode else jnp.asarray(
         np.minimum(plan.tile_cols, max(N - 1, 0)))
 
+    Tp = plan.sp_panel.shape[0] if plan.sp_panel is not None else 0
+    T_bsr = plan.tile_scatter.shape[0]
+    sw = plan.subblock_width
+
     def fn(dense: jax.Array, gathered: jax.Array, res: jax.Array,
            A_full: jax.Array, dplan: DevicePlan) -> jax.Array:
         F = A_full.shape[1]
-        dense = jnp.where(dplan.tile_scatter < nnz, dense, 0.0)
+        d_panel, d_scatter = _dense_panel_scatter(plan, dplan)
+        dense = jnp.where(d_scatter < nnz, dense, 0.0)
         gathered = jnp.where(dplan.g_scatter < nnz, gathered, 0.0)
         res = jnp.where(dplan.res_out < nnz, res, 0.0)
         A_perm = jnp.take(A_full, dplan.row_perm_padded, axis=0)
@@ -212,20 +242,29 @@ def make_spmm_transpose_rphm(plan: TilePlan,
 
         # dense tier: (T, bw, ph) @ (T, ph, F) -> (T, bw, F), summed per
         # column block (contiguous rows of the output)
-        a_t = jnp.take(A_panels, dplan.tile_panel, axis=0)  # (T, ph, F)
+        a_t = jnp.take(A_panels, d_panel, axis=0)       # (T+Tp, ph, F)
         d_part = jax.lax.dot_general(
             dense, a_t, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             precision=prec,
-            preferred_element_type=jnp.float32)             # (T, bw, F)
+            preferred_element_type=jnp.float32)         # (T+Tp, bw, F)
+        d_bsr = d_part[:T_bsr] if Tp else d_part
         if bsr_mode:
             out_blocks = jax.ops.segment_sum(
-                d_part, tile_cblock, num_segments=n_cblocks)  # (C, bw, F)
+                d_bsr, tile_cblock, num_segments=n_cblocks)  # (C, bw, F)
             out = out_blocks.reshape(n_cblocks * bw, F)
         else:
             # reorder mode: the tile's columns are arbitrary — scatter-add
             # each tile column at its true id
             out = jax.ops.segment_sum(
-                d_part.reshape(-1, F), tile_cols.reshape(-1),
+                d_bsr.reshape(-1, F), tile_cols.reshape(-1),
+                num_segments=n_cblocks * bw)
+        if Tp:
+            # packed tiles: column j of tile t lands at global column
+            # sp_sub[t, j // sw] * sw + j % sw
+            pk_cols = (dplan.sp_sub[:, :, None] * sw
+                       + jnp.arange(sw, dtype=jnp.int32)).reshape(Tp, bw)
+            out = out + jax.ops.segment_sum(
+                d_part[T_bsr:].reshape(-1, F), pk_cols.reshape(-1),
                 num_segments=n_cblocks * bw)
 
         # gathered tier: scatter-add per tile column

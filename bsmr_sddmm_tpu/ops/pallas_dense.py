@@ -172,6 +172,72 @@ def make_dense_tile_kernel(num_panels: int, ph: int, bw: int, k: int,
 make_gathered_tile_kernel = make_dense_tile_kernel
 
 
+def make_subpack_kernel(num_panels: int, ph: int, bw: int, k: int,
+                        n_cols: int, sw: int,
+                        precision: str = "bf16x3",
+                        interpret: bool = False):
+    """Sub-block packed SDDMM kernel: S = bw/sw qualifying sw-wide aligned
+    column sub-blocks of one panel per 128-lane tile.
+
+    ``fn(A_panels, Bt, sp_panel (Tp,), sp_sub (Tp, S)) -> (Tp, ph, bw)``.
+    Each grid step DMAs the tile's A panel (scalar-prefetch index map)
+    plus S contiguous (sw, K) B block slices — 16 KB block DMAs at
+    sw=32/K=128, near-stream bandwidth, where the gathered tier pays
+    512-byte row-gather descriptors — and issues one (ph, bw) MXU matmul.
+    This is the tile-fill design of SURVEY.md section 7 hard-part 1: the
+    reference's 16-wide gathered dense columns
+    (colReordering.cu:244-271, sddmmKernel.cu:294-307) re-cast so fill
+    rises ~S-fold at near-constant per-tile bytes."""
+    n_sb = -(-n_cols // sw)
+    S = bw // sw
+
+    def kernel(panel_ref, sub_ref, *refs):
+        a_ref = refs[0]
+        b_refs = refs[1:1 + S]
+        out_ref = refs[1 + S]
+        b = jnp.concatenate([br[:] for br in b_refs], axis=0)  # (bw, K)
+        out_ref[0] = _tile_matmul(a_ref[0], b, precision)
+
+    def fn(A_panels: jax.Array, Bt: jax.Array, sp_panel: jax.Array,
+           sp_sub: jax.Array) -> jax.Array:
+        Tp = sp_panel.shape[0]
+        npad = n_sb * sw - Bt.shape[0]
+        if npad:
+            Bt = jnp.pad(Bt, ((0, npad), (0, 0)))
+        # flatten (Tp, S) -> (Tp*S,): 2-D SMEM scalar operands are
+        # lane-padded to 128 wide (32x memory waste — a 2048-tile plan
+        # OOMs the 1 MB SMEM); 1-D arrays pack tight
+        sp_sub_flat = sp_sub.reshape(-1)
+
+        def b_index(s):
+            return lambda t, panel_ref, sub_ref: (sub_ref[t * S + s], 0)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Tp,),
+            in_specs=(
+                [pl.BlockSpec((1, ph, k),
+                              lambda t, panel_ref, sub_ref:
+                              (panel_ref[t], 0, 0))]
+                + [pl.BlockSpec((sw, k), b_index(s)) for s in range(S)]),
+            out_specs=pl.BlockSpec((1, ph, bw),
+                                   lambda t, panel_ref, sub_ref:
+                                   (t, 0, 0)),
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Tp, ph, bw), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * 2 * Tp * ph * bw * k,
+                bytes_accessed=4 * Tp * (ph * k + bw * k + ph * bw),
+                transcendentals=0),
+            interpret=interpret,
+        )(sp_panel, sp_sub_flat, A_panels, *([Bt] * S))
+
+    return fn
+
+
 def make_bsr_fat_kernel(num_panels: int, ph: int, bw: int, k: int,
                         n_cols: int, fat_group: int,
                         precision: str = "bf16x3",

@@ -53,6 +53,9 @@ class DevicePlan(NamedTuple):
     tile_panel: jax.Array        # (T,) int32
     tile_src: jax.Array          # (T,) cblock ids | (T, bw) col ids
     tile_scatter: jax.Array      # (T, ph, bw) int32
+    sp_panel: jax.Array          # (Tp,) int32  (packed sub-block tier)
+    sp_sub: jax.Array            # (Tp, S) int32 sub-block ids
+    sp_scatter: jax.Array        # (Tp, ph, bw) int32
     g_panel: jax.Array           # (Tg,) int32
     g_cols: jax.Array            # (Tg, bw) int32
     g_scatter: jax.Array         # (Tg, ph, bw) int32
@@ -74,6 +77,14 @@ def device_plan(plan: TilePlan) -> DevicePlan:
         tile_panel=jnp.asarray(plan.tile_panel),
         tile_src=jnp.asarray(tile_src),
         tile_scatter=jnp.asarray(plan.tile_scatter),
+        sp_panel=jnp.asarray(plan.sp_panel if plan.sp_panel is not None
+                             else np.zeros(0, np.int32)),
+        sp_sub=jnp.asarray(plan.sp_sub if plan.sp_sub is not None
+                           else np.zeros((0, 1), np.int32)),
+        sp_scatter=jnp.asarray(
+            plan.sp_scatter if plan.sp_scatter is not None
+            else np.zeros((0, plan.panel_height, plan.block_width),
+                          np.int32)),
         g_panel=jnp.asarray(plan.g_panel),
         g_cols=jnp.asarray(plan.g_cols),
         g_scatter=jnp.asarray(plan.g_scatter),
@@ -118,7 +129,7 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
     backend = resolve_backend(config.backend if backend is None else backend)
     if emit not in ("csr", "csr_scatter", "rphm"):
         raise ValueError(f"unknown emit {emit!r}")
-    if only_tier not in (None, "dense", "gathered", "residual"):
+    if only_tier not in (None, "dense", "packed", "gathered", "residual"):
         raise ValueError(f"unknown only_tier {only_tier!r}")
     ph, bw, k = plan.panel_height, plan.block_width, plan.k
     num_panels = max(plan.num_panels, 1)
@@ -263,6 +274,69 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
             out = out.reshape(T, ph, bw)
         return out
 
+    # --- packed sub-block tier --------------------------------------------
+    Tp = plan.sp_panel.shape[0] if plan.sp_panel is not None else 0
+    sw = plan.subblock_width
+    S = plan.sp_sub.shape[1] if (Tp and plan.sp_sub is not None) else 0
+    n_sb = -(-plan.cols // sw) if sw else 0
+    if backend == "pallas" and Tp:
+        from bsmr_sddmm_tpu.ops.pallas_dense import make_subpack_kernel
+        subpack_kernel = make_subpack_kernel(
+            num_panels=num_panels, ph=ph, bw=bw, k=k, n_cols=plan.cols,
+            sw=sw, precision=config.matmul_precision,
+            interpret=interpret)
+    else:
+        subpack_kernel = None
+
+    def packed_out_fn(A_panels, Bt, dplan):
+        """Compute all sub-block packed tiles -> (Tp, ph, bw).
+
+        The B operand of tile t is S contiguous (sw, K) slices of Bt —
+        block DMAs at near-stream bandwidth, not 512-byte row-gather
+        descriptors (the whole point of the tier: ~S-fold tile fill at
+        roughly the dense tier's per-tile byte cost)."""
+        if Tp == 0:
+            return jnp.zeros((0, ph, bw), jnp.float32)
+        if backend == "pallas":
+            if Tp * ph * bw * 4 <= max(budget_bytes, 1 << 28):
+                return subpack_kernel(A_panels, Bt, dplan.sp_panel,
+                                      dplan.sp_sub)
+            pchunk = _chunk_of(Tp, max(dense_chunk, 4096))
+            parts = []
+            for s in range(0, Tp, pchunk):
+                e = min(s + pchunk, Tp)
+                parts.append(subpack_kernel(
+                    A_panels, Bt,
+                    jax.lax.slice_in_dim(dplan.sp_panel, s, e),
+                    jax.lax.slice_in_dim(dplan.sp_sub, s, e)))
+            return jnp.concatenate(parts, axis=0)
+        # XLA path: block-gather the sub-blocks, one batched matmul
+        npad = n_sb * sw - plan.cols
+        Btp = jnp.pad(Bt, ((0, npad), (0, 0))) if npad else Bt
+        B_sub = Btp.reshape(n_sb, sw, k)
+
+        def tiles_matmul(pc, sc):
+            n_t = pc.shape[0]
+            b = jnp.take(B_sub, sc.reshape(-1), axis=0) \
+                .reshape(n_t, bw, k)
+            a = jnp.take(A_panels, pc, axis=0)       # (C, ph, K)
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                precision=precision,
+                preferred_element_type=jnp.float32)  # (C, ph, bw)
+
+        if Tp * bw * k * 4 <= budget_bytes:
+            return tiles_matmul(dplan.sp_panel, dplan.sp_sub)
+        pchunk = _chunk_of(Tp, dense_chunk)
+        pc_big = max(pchunk, Tp // 32)
+        pc_big = pc_big if Tp % pc_big == 0 else pchunk
+        parts = []
+        for s in range(0, Tp, pc_big):
+            parts.append(tiles_matmul(
+                jax.lax.slice_in_dim(dplan.sp_panel, s, s + pc_big),
+                jax.lax.slice_in_dim(dplan.sp_sub, s, s + pc_big)))
+        return jnp.concatenate(parts, axis=0)
+
     Tg = plan.g_panel.shape[0]
 
     def gathered_out_fn(A_panels, Bt, dplan):
@@ -379,11 +453,19 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         A_panels = A_perm.reshape(num_panels, ph, k)
         if only_tier == "dense":
             return dense_out_fn(A_panels, Bt, dplan)
+        if only_tier == "packed":
+            return packed_out_fn(A_panels, Bt, dplan)
         if only_tier == "gathered":
             return gathered_out_fn(A_panels, Bt, dplan)
         if only_tier == "residual":
             return res_vals_fn(A_perm, Bt, dplan)
         dense_out = dense_out_fn(A_panels, Bt, dplan)
+        if Tp:
+            # the packed sub-block tier rides the dense tier's layout:
+            # emit "dense" = (T + Tp, ph, bw), scatter maps already
+            # account for the offset (pack.py inverse map)
+            dense_out = jnp.concatenate(
+                [dense_out, packed_out_fn(A_panels, Bt, dplan)], axis=0)
         gathered_out = gathered_out_fn(A_panels, Bt, dplan)
         res_vals = res_vals_fn(A_perm, Bt, dplan)
         if emit == "rphm":
@@ -397,7 +479,10 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         # non-owned slot lands in the trash element, which is what the
         # shard_map path needs (per-shard partials psum to the total)
         P = jnp.zeros(nnz + 1, dtype=jnp.float32)
-        P = P.at[dplan.tile_scatter.reshape(-1)].set(
+        scatter_map = (jnp.concatenate([dplan.tile_scatter.reshape(-1),
+                                        dplan.sp_scatter.reshape(-1)])
+                       if Tp else dplan.tile_scatter.reshape(-1))
+        P = P.at[scatter_map].set(
             dense_out.reshape(-1), mode="drop", unique_indices=False)
         P = P.at[dplan.g_scatter.reshape(-1)].set(
             gathered_out.reshape(-1), mode="drop", unique_indices=False)

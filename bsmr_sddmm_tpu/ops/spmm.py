@@ -29,6 +29,9 @@ def pack_values_rphm(plan: TilePlan, values: np.ndarray
     one-time per value set). Trash/pad slots become zero."""
     v = np.concatenate([np.asarray(values, np.float32), [0.0]])
     dense = v[plan.tile_scatter]        # (T, ph, bw)
+    if plan.sp_scatter is not None and plan.sp_scatter.size:
+        # executed dense layout = [BSR tiles | packed sub-block tiles]
+        dense = np.concatenate([dense, v[plan.sp_scatter]], axis=0)
     gathered = v[plan.g_scatter]        # (Tg, ph, bw)
     res = v[plan.res_out]               # (E,)
     return dense, gathered, res

@@ -77,6 +77,17 @@ class TilePlan:
     tile_cols: np.ndarray          # (T, bw) int32, col ids clipped to [0, N-1]
     tile_scatter: np.ndarray       # (T, ph, bw) int32 into [0, nnz]
 
+    # sub-block packed tiles (Tp after padding, Tp0 real): S qualifying
+    # sw-wide aligned column sub-blocks of one panel per 128-lane tile;
+    # the B operand is S contiguous (sw, K) block slices of Bt (16 KB
+    # block DMAs, not row gathers). Executed output is concatenated onto
+    # the dense tier: emit layout dense = (T + Tp, ph, bw).
+    num_packed: int = 0            # Tp0
+    sp_panel: np.ndarray = None    # (Tp,) int32, panel id (pad: 0)
+    sp_sub: np.ndarray = None      # (Tp, S) int32 sub-block ids
+    sp_scatter: np.ndarray = None  # (Tp, ph, bw) int32 into [0, nnz]
+    subblock_width: int = 0        # sw (0 = tier absent)
+
     # gathered tiles (Tg after bucket padding, Tg0 real): residual columns
     # of one panel packed 128-wide; the B operand is a take()-gather
     num_gathered: int = 0          # Tg0
@@ -129,6 +140,13 @@ class TilePlan:
         return int((self.tile_scatter < self.nnz).sum())
 
     @property
+    def packed_nnz(self) -> int:
+        """Nonzeros covered by sub-block packed tiles."""
+        if self.sp_scatter is None or not self.sp_scatter.size:
+            return 0
+        return int((self.sp_scatter < self.nnz).sum())
+
+    @property
     def gathered_nnz(self) -> int:
         """Nonzeros covered by gathered-column tiles."""
         if self.g_scatter is None:
@@ -141,19 +159,27 @@ class TilePlan:
 
     @property
     def average_tile_density(self) -> float:
-        if self.num_tiles == 0:
+        """Fill of the MXU-tile tiers (dense BSR + packed), the
+        reference's averageDensity statistic (BSMR.cpp:334-442)."""
+        slots = ((self.num_tiles + self.num_packed)
+                 * self.panel_height * self.block_width)
+        if slots == 0:
             return 0.0
-        slots = self.num_tiles * self.panel_height * self.block_width
-        return self.dense_nnz / slots
+        return (self.dense_nnz + self.packed_nnz) / slots
 
     def csr_values_from_rphm(self, dense_out: np.ndarray,
                              gathered_out: np.ndarray,
                              res_vals: np.ndarray) -> np.ndarray:
         """Host-side assembly of CSR-order values from the rphm-layout
-        outputs (the static bijection recorded in tile_scatter/g_scatter/
-        res_out)."""
+        outputs (the static bijection recorded in tile_scatter/sp_scatter/
+        g_scatter/res_out). ``dense_out`` is the executed dense tier
+        (T + Tp, ph, bw): BSR tiles then packed sub-block tiles."""
         P = np.empty(self.nnz + 1, dtype=np.float32)
-        P[self.tile_scatter.reshape(-1)] = np.asarray(dense_out).reshape(-1)
+        dense_out = np.asarray(dense_out)
+        T = self.tile_scatter.shape[0]
+        P[self.tile_scatter.reshape(-1)] = dense_out[:T].reshape(-1)
+        if self.sp_scatter is not None and self.sp_scatter.size:
+            P[self.sp_scatter.reshape(-1)] = dense_out[T:].reshape(-1)
         if self.g_scatter is not None and self.g_scatter.size:
             P[self.g_scatter.reshape(-1)] = \
                 np.asarray(gathered_out).reshape(-1)
@@ -167,6 +193,7 @@ class TilePlan:
         return {
             "useful": 2 * self.nnz * self.k,
             "dense_raw": self.num_tiles * tile_flops,
+            "packed_raw": self.num_packed * tile_flops,
             "gathered_raw": self.num_gathered * tile_flops,
             "residual_raw": 2 * self.num_residual * self.k,
         }
@@ -258,6 +285,77 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     r_lrow = (pos_in_perm[res_mask] % ph).astype(np.int64)
     r_arow = pos_in_perm[res_mask]
     r_csr = entry_idx[res_mask]
+
+    # --- sub-block packed tier (the tile-fill lever) ----------------------
+    # Qualifying sw-wide aligned (panel, sub-block) groups among the
+    # residual entries pack S = bw/sw per 128-lane tile; B arrives as S
+    # contiguous (sw, K) block DMAs. Sub-blocks sort by id within a panel,
+    # so a tile's B slices are address-local. The reference's analogue is
+    # its 16-wide gathered dense columns (colReordering.cu:244-271 +
+    # sddmmKernel.cu:294-307) — same trick at MXU scale, with alignment
+    # traded for contiguous DMAs.
+    sw = config.subblock_width
+    S = (bw // sw) if sw else 0
+    num_packed0 = 0
+    sp_panel = np.zeros(0, np.int32)
+    sp_sub = np.zeros((0, max(S, 1)), np.int32)
+    sp_scatter = np.zeros((0, ph, bw), np.int32)
+    if config.subpack_min_nnz and S and r_panel.shape[0]:
+        n_sb = -(-N // sw)
+        ent_key = r_panel * np.int64(n_sb) + r_col // sw
+        sp_order = np.argsort(ent_key, kind="stable")
+        ks = ent_key[sp_order]
+        uq_pos = np.nonzero(np.diff(ks, prepend=-1))[0]
+        uq_key = ks[uq_pos]                        # ascending
+        uq_cnt = np.diff(np.append(uq_pos, ks.shape[0]))
+        qual = uq_cnt >= config.subpack_min_nnz
+        n_qual = int(qual.sum())
+        if n_qual:
+            q_key = uq_key[qual]
+            q_panel = q_key // n_sb
+            q_sb = (q_key % n_sb).astype(np.int64)
+            # group by panel, S sub-blocks per tile
+            pstarts = np.nonzero(np.diff(q_panel, prepend=-1))[0]
+            plens = np.diff(np.append(pstarts, n_qual))
+            pidx_of_q = np.searchsorted(pstarts, np.arange(n_qual),
+                                        side="right") - 1
+            within = np.arange(n_qual) - pstarts[pidx_of_q]
+            tiles_per_panel = -(-plens // S)
+            tile_base = np.zeros(pstarts.shape[0], np.int64)
+            np.cumsum(tiles_per_panel[:-1], out=tile_base[1:])
+            tile_of_q = tile_base[pidx_of_q] + within // S
+            slot_of_q = within % S
+            num_packed0 = int(tiles_per_panel.sum())
+            Tp = exec_size(num_packed0, config.bucket_shapes,
+                           config.dense_chunk)
+            sp_panel = np.zeros(Tp, np.int32)
+            sp_panel[:num_packed0] = np.repeat(
+                q_panel[pstarts], tiles_per_panel).astype(np.int32)
+            sp_sub = np.full((Tp, S), -1, np.int32)
+            sp_sub[tile_of_q, slot_of_q] = q_sb.astype(np.int32)
+            # pad slots read the tile's first sub-block (slot 0 is always
+            # real); pad tiles read sub-block 0 — their scatter is trash
+            first = np.where(sp_sub[:, 0] >= 0, sp_sub[:, 0], 0)
+            sp_sub = np.where(sp_sub >= 0, sp_sub,
+                              first[:, None]).astype(np.int32)
+            # route entries into tiles
+            ent_uq = np.searchsorted(uq_key, ent_key)
+            in_packed_s = qual[ent_uq]             # aligned with r_*!
+            tile_of_uq = np.full(uq_key.shape[0], 0, np.int64)
+            slot_of_uq = np.zeros(uq_key.shape[0], np.int64)
+            tile_of_uq[qual] = tile_of_q
+            slot_of_uq[qual] = slot_of_q
+            sp_scatter = np.full((Tp, ph, bw), nnz, np.int32)
+            pe = in_packed_s
+            sp_scatter[tile_of_uq[ent_uq[pe]], r_lrow[pe],
+                       slot_of_uq[ent_uq[pe]] * sw + r_col[pe] % sw] = \
+                r_csr[pe].astype(np.int32)
+            # remaining residual entries flow to the gathered/per-nnz
+            # tiers below
+            keep = ~pe
+            r_panel, r_col, r_lrow, r_arow, r_csr = (
+                r_panel[keep], r_col[keep], r_lrow[keep],
+                r_arow[keep], r_csr[keep])
 
     num_gathered0 = 0
     g_panel = np.zeros(0, np.int32)
@@ -516,9 +614,12 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
             fat_group = G
 
     # --- inverse scatter map (rphm layout -> CSR order) --------------------
+    # executed layout: [dense BSR tiles | packed sub-block tiles |
+    #                   gathered tiles | residual]
     T_pad = tile_scatter.shape[0]
+    Tp_pad = sp_scatter.shape[0] if sp_scatter.size else 0
     Tg_pad = g_scatter.shape[0]
-    n_dense_slots = T_pad * ph * bw
+    n_dense_slots = (T_pad + Tp_pad) * ph * bw
     n_gath_slots = Tg_pad * ph * bw
     total_slots = n_dense_slots + n_gath_slots + res_out.shape[0]
     assert total_slots < np.iinfo(np.int32).max
@@ -526,6 +627,11 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     ts_flat = tile_scatter.reshape(-1)
     m = ts_flat < nnz
     rphm_to_csr[ts_flat[m]] = np.nonzero(m)[0].astype(np.int32)
+    if Tp_pad:
+        sp_flat = sp_scatter.reshape(-1)
+        m = sp_flat < nnz
+        rphm_to_csr[sp_flat[m]] = (np.nonzero(m)[0]
+                                   + T_pad * ph * bw).astype(np.int32)
     gs_flat = g_scatter.reshape(-1)
     m = gs_flat < nnz
     rphm_to_csr[gs_flat[m]] = (np.nonzero(m)[0]
@@ -540,6 +646,10 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         num_tiles=num_tiles0,
         tile_panel=tile_panel, tile_cols=tile_cols,
         tile_scatter=tile_scatter,
+        num_packed=num_packed0,
+        sp_panel=sp_panel, sp_sub=sp_sub, sp_scatter=sp_scatter,
+        subblock_width=sw if num_packed0 or (config.subpack_min_nnz and S)
+        else 0,
         num_gathered=num_gathered0,
         g_panel=g_panel, g_cols=g_cols, g_scatter=g_scatter,
         num_residual=num_residual0,
@@ -556,7 +666,7 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     return plan
 
 
-def _pad_plan_to(plan: TilePlan, T: int, Tg: int, E: int,
+def _pad_plan_to(plan: TilePlan, T: int, Tp: int, Tg: int, E: int,
                  num_panels: int) -> TilePlan:
     """Pad a shard's TilePlan out to common shapes (extra tiles/entries
     land in the trash slot; extra panels read row 0 of A, never emitted)."""
@@ -585,6 +695,9 @@ def _pad_plan_to(plan: TilePlan, T: int, Tg: int, E: int,
                      if plan.tile_cblock is not None else None),
         step_cblock=(pad(plan.step_cblock, T // G, 0)
                      if plan.step_cblock is not None else None),
+        sp_panel=pad(plan.sp_panel, Tp, 0),
+        sp_sub=pad(plan.sp_sub, Tp, 0),
+        sp_scatter=pad(plan.sp_scatter, Tp, nnz),
         g_panel=pad(plan.g_panel, Tg, 0),
         g_cols=pad(plan.g_cols, Tg, max(plan.cols - 1, 0)),
         g_scatter=pad(plan.g_scatter, Tg, nnz),
@@ -613,6 +726,20 @@ def pack_shard_plans(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     """
     assert reord.dense_cols is not None, "run col_reordering first"
     cfg = config.replace(gather_window_mb=0)
+    if (config.gather_window_mb and (k or config.k) is not None
+            and csr.cols * (k or config.k) * 4
+            > (config.gather_window_threshold_mb << 20)):
+        # shard packs cannot carry per-shard window groups (they are
+        # static metadata of ONE shared shard_map body) — at cliff scale
+        # (B beyond the gather-window threshold) the shards lose the
+        # >64 MB gather-cliff protection single-chip plans get
+        import warnings
+        warnings.warn(
+            f"pack_shard_plans drops gather windows: B is "
+            f"{csr.cols * (k or config.k) * 4 >> 20} MB (> "
+            f"{config.gather_window_threshold_mb} MB threshold); gathered/"
+            f"residual B-gathers may run at the degraded >64MB rate",
+            RuntimeWarning, stacklevel=2)
     ph = cfg.panel_height
     perm = reord.row_perm
     R = perm.shape[0]
@@ -675,7 +802,8 @@ def pack_shard_plans(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
                                               fat_group_override=G))
     # pad to common shapes
     T = max(p.tile_panel.shape[0] for p in shard_plans)
+    Tp = max(p.sp_panel.shape[0] for p in shard_plans)
     Tg = max(p.g_panel.shape[0] for p in shard_plans)
     E = max(p.res_arow.shape[0] for p in shard_plans)
     NP = max(max(p.num_panels for p in shard_plans), 1)
-    return [_pad_plan_to(p, T, Tg, E, NP) for p in shard_plans]
+    return [_pad_plan_to(p, T, Tp, Tg, E, NP) for p in shard_plans]

@@ -81,6 +81,10 @@ def shard_device_plan(plan: TilePlan, mesh: Mesh) -> DevicePlan:
         tile_src=put(_pad_leading(tile_src, n, 0), sharded),
         tile_scatter=put(_pad_leading(plan.tile_scatter, n, plan.nnz),
                          sharded),
+        sp_panel=put(_pad_leading(plan.sp_panel, n, 0), sharded),
+        sp_sub=put(_pad_leading(plan.sp_sub, n, 0), sharded),
+        sp_scatter=put(_pad_leading(plan.sp_scatter, n, plan.nnz),
+                       sharded),
         g_panel=put(_pad_leading(plan.g_panel, n, 0), sharded),
         g_cols=put(_pad_leading(plan.g_cols, n,
                                 max(plan.cols - 1, 0)), sharded),
@@ -135,6 +139,9 @@ def _stack_shard_dplans(plans, mesh: Mesh) -> DevicePlan:
         tile_panel=stack("tile_panel"),
         tile_src=stack("tile_src"),
         tile_scatter=stack("tile_scatter"),
+        sp_panel=stack("sp_panel"),
+        sp_sub=stack("sp_sub"),
+        sp_scatter=stack("sp_scatter"),
         g_panel=stack("g_panel"),
         g_cols=stack("g_cols"),
         g_scatter=stack("g_scatter"),
@@ -154,16 +161,22 @@ def sharded_rphm_to_csr(plans) -> np.ndarray:
     n = len(plans)
     ph, bw = plans[0].panel_height, plans[0].block_width
     T = plans[0].tile_panel.shape[0]
+    Tp = plans[0].sp_panel.shape[0]
     Tg = plans[0].g_panel.shape[0]
     E = plans[0].res_arow.shape[0]
-    base_g = n * T * ph * bw
+    # per-shard executed dense layout = [T BSR tiles | Tp packed tiles]
+    d_stride = (T + Tp) * ph * bw
+    base_g = n * d_stride
     base_r = base_g + n * Tg * ph * bw
     assert base_r + n * E < np.iinfo(np.int32).max
     out = np.zeros(nnz, np.int64)
     for s, p in enumerate(plans):
         ts = p.tile_scatter.reshape(-1)
         m = ts < nnz
-        out[ts[m]] = np.nonzero(m)[0] + s * T * ph * bw
+        out[ts[m]] = np.nonzero(m)[0] + s * d_stride
+        sp = p.sp_scatter.reshape(-1)
+        m = sp < nnz
+        out[sp[m]] = np.nonzero(m)[0] + s * d_stride + T * ph * bw
         gs = p.g_scatter.reshape(-1)
         m = gs < nnz
         out[gs[m]] = np.nonzero(m)[0] + base_g + s * Tg * ph * bw
@@ -213,6 +226,8 @@ def make_sharded_sddmm(csr: CSR, reord: BsmrReordering,
                   DevicePlan(row_perm_padded=P(AXIS),
                              tile_panel=P(AXIS), tile_src=P(AXIS),
                              tile_scatter=P(AXIS),
+                             sp_panel=P(AXIS), sp_sub=P(AXIS),
+                             sp_scatter=P(AXIS),
                              g_panel=P(AXIS), g_cols=P(AXIS),
                              g_scatter=P(AXIS),
                              res_arow=P(AXIS), res_col=P(AXIS),

@@ -284,6 +284,15 @@ def row_reordering(csr: CSR, alpha: float, config: SddmmConfig
                                          == "exact")
     if cluster_of_pos is None:
         if config.row_strategy == "exact":
+            if config.use_native and order.size > 50_000:
+                # the NumPy exact path is O(joins x suffix); on a big
+                # matrix the silent native->NumPy fallback can turn
+                # seconds into minutes — say so at the decision site
+                import warnings
+                warnings.warn(
+                    f"native clustering unavailable; NumPy 'exact' "
+                    f"clustering of {order.size} rows may take minutes",
+                    RuntimeWarning, stacklevel=2)
             cluster_of_pos = _cluster_exact(enc, order, alpha)
         else:
             cluster_of_pos = _cluster_fast(enc, order, alpha)

@@ -113,6 +113,8 @@ class BsmrSddmm:
                plan.res_arow.shape, plan.num_panels,
                plan.k, plan.nnz, plan.mode, emit,
                backend or self.config.backend,
+               plan.sp_panel.shape if plan.sp_panel is not None else None,
+               plan.num_packed, plan.subblock_width,
                plan.fat_group, plan.window_rows, plan.a_window_rows,
                plan.num_gathered, plan.num_residual,
                tuple(plan.g_groups) if plan.g_groups is not None else None,
@@ -133,11 +135,18 @@ class BsmrSddmm:
         no preprocessing)."""
         k = A.shape[1]
         Bt = np.ascontiguousarray(B.T) if B.shape[0] == k else B
-        if delta == "dense" or (delta == "auto"
-                                and self.choose(alpha, k=k).use_dense):
+        plan = None
+        if delta == "auto":
+            choice = self.choose(alpha, k=k)   # one autotune pass
+            if choice.use_dense:
+                delta = "dense"
+            else:
+                plan = choice.plan
+        if delta == "dense":
             fn = self.dense_fn(k)
             return np.asarray(fn(jnp.asarray(A), jnp.asarray(Bt)))
-        plan = self.plan(alpha, delta, k=k)
+        if plan is None:
+            plan = self.plan(alpha, delta, k=k)
         fn = self.compile(plan, backend)
         dplan = device_plan(plan)
         out = fn(jnp.asarray(A), jnp.asarray(Bt), dplan)
@@ -155,15 +164,19 @@ class BsmrSddmm:
         (src/sddmmKernel.cu:2561-2659 timing loop + Logger fields)."""
         cfg = self.config
         k = A.shape[1]
-        if delta == "dense" or (delta == "auto"
-                                and self.choose(alpha, k=k).use_dense):
+        plan = None
+        if delta == "auto":
+            choice = self.choose(alpha, k=k)   # one autotune pass
+            if choice.use_dense:
+                delta = "dense"
+            else:
+                plan = choice.plan
+                delta = plan.delta_used
+                reord = self._row_reordering(alpha)
+        if delta == "dense":
             return self._benchmark_dense(A, B, alpha=alpha,
                                          validate=validate, file=file)
-        if delta == "auto":
-            plan = self.plan(alpha, "auto", k=k)
-            delta = plan.delta_used
-            reord = self._row_reordering(alpha)
-        else:
+        if plan is None:
             reord = self.reorder(alpha, delta)
             plan = pack_tiles(self.csr, reord, cfg, k=k)
         dplan = device_plan(plan)
@@ -214,8 +227,10 @@ class BsmrSddmm:
             num_clusters=reord.num_clusters,
             num_row_panels=plan.num_panels,
             num_dense_blocks=plan.num_tiles,
+            num_packed_blocks=plan.num_packed,
             num_gathered_blocks=plan.num_gathered,
             dense_nnz=plan.dense_nnz,
+            packed_nnz=plan.packed_nnz,
             gathered_nnz=plan.gathered_nnz,
             residual_nnz=plan.residual_nnz,
             average_tile_density=plan.average_tile_density,
@@ -236,13 +251,18 @@ class BsmrSddmm:
             # the fused time; the split shows where the time goes.
             from bsmr_sddmm_tpu.ops.sddmm import make_sddmm_body
             tier_ms = {}
-            for tier in ("dense", "gathered", "residual"):
+            tiers = ["dense", "gathered", "residual"]
+            if plan.num_packed:
+                tiers.insert(1, "packed")
+            for tier in tiers:
                 tfn = jax.jit(make_sddmm_body(plan, cfg, backend,
                                               only_tier=tier))
                 t_ms, _ = time_jitted(tfn, A_dev, Bt_dev, dplan,
                                       iterations=cfg.num_iterations)
                 tier_ms[tier] = t_ms
             log.extras["tier_dense_ms"] = f"{tier_ms['dense']:.6f}"
+            if plan.num_packed:
+                log.extras["tier_packed_ms"] = f"{tier_ms['packed']:.6f}"
             log.extras["tier_gathered_ms"] = f"{tier_ms['gathered']:.6f}"
             log.extras["tier_residual_ms"] = f"{tier_ms['residual']:.6f}"
             overlap = sum(tier_ms.values()) / ms if ms > 0 else 0.0

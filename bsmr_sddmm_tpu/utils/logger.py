@@ -39,8 +39,10 @@ class RunLog:
     num_clusters: int = 0
     num_row_panels: int = 0
     num_dense_blocks: int = 0
+    num_packed_blocks: int = 0
     num_gathered_blocks: int = 0
     dense_nnz: int = 0
+    packed_nnz: int = 0
     gathered_nnz: int = 0
     residual_nnz: int = 0
     average_tile_density: float = 0.0
@@ -82,8 +84,10 @@ class RunLog:
             ("numClusters", self.num_clusters),
             ("numRowPanels", self.num_row_panels),
             ("numDenseBlocks", self.num_dense_blocks),
+            ("numPackedBlocks", self.num_packed_blocks),
             ("numGatheredBlocks", self.num_gathered_blocks),
             ("denseNNZ", self.dense_nnz),
+            ("packedNNZ", self.packed_nnz),
             ("gatheredNNZ", self.gathered_nnz),
             ("residualNNZ", self.residual_nnz),
             ("averageDensity", f"{self.average_tile_density:.6f}"),

@@ -171,7 +171,10 @@ def time_rphm_inprogram(body: Callable, A, Bt, dplan,
         def fn(A, Bt, dplan):
             def step(_, c):
                 d, g, r = body(A * (1.0 + c), Bt, dplan)
-                probe = (d.ravel()[0] if dense_opaque
+                # first AND last element: the dense output may be a
+                # concat of two opaque pallas_calls (BSR tier + packed
+                # sub-block tier); touching both ends keeps both alive
+                probe = (d.ravel()[0] + d.ravel()[-1] if dense_opaque
                          else jnp.sum(d) * 1e-30)
                 s = probe * 1e-30 + jnp.sum(g) * 1e-30 + jnp.sum(r)
                 return s * 1e-37
@@ -188,7 +191,9 @@ def time_rphm_inprogram(body: Callable, A, Bt, dplan,
             t0 = time.perf_counter()
             force(fn_rep(A, Bt, dplan))
             ts.append(time.perf_counter() - t0)
-        return (min(ts) - _rtt()) / reps * 1e3
+        # clamp: an RTT overestimate on a small batch must not produce a
+        # zero/negative time (=> inf/negative GFLOPS downstream)
+        return max((min(ts) - _rtt()) / reps * 1e3, 1e-6)
 
     # pilot: estimate per-call cost with a small in-program batch
     pilot_reps = max(iterations, 4)

@@ -3,11 +3,14 @@
 The box has ONE real TPU chip; multi-chip scaling is validated
 structurally on an 8-virtual-device CPU mesh. NOTE: this host has a
 single CPU core, so all 8 virtual devices timeshare one core — measured
-"efficiency" reflects host-core throughput, not ICI/device scaling; the
-meaningful evidence is (a) per-shard shapes/compile stay constant as the
-mesh grows, (b) the hot path adds NO collectives (replicated B), and
-(c) time grows ~linearly with total work on the single core (the
-sharded program adds no superlinear overhead).
+"efficiency" reflects host-core throughput, not ICI/device scaling, and
+observed wall time grows SUPERLINEARLY with total work (2x work measured
+~3.8x time at n=2: the single core also pays per-device XLA runtime
+scheduling and cache pressure). The wall numbers are therefore
+non-evidence for device scaling either way; the meaningful evidence is
+(a) per-shard shapes/compile stay constant as the mesh grows, and
+(b) the hot path adds NO collectives (replicated B) — both asserted in
+tests/test_harness.py::test_weak_scaling_real_sddmm.
 """
 import json
 import os
@@ -37,5 +40,6 @@ payload = {
     "per_device": out,
 }
 print(json.dumps(payload, indent=1))
-with open("results/v5e_r2/weak_scaling_virtual.json", "w") as f:
+os.makedirs("results/v5e_r3", exist_ok=True)
+with open("results/v5e_r3/weak_scaling_virtual.json", "w") as f:
     json.dump(payload, f, indent=1)

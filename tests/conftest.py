@@ -22,6 +22,19 @@ from bsmr_sddmm_tpu.config import SddmmConfig
 from bsmr_sddmm_tpu.formats import CSR, make_dense, random_mask
 
 
+def pytest_collection_modifyitems(config, items):
+    """Skip @pytest.mark.slow tests (multi-minute subprocess jax imports
+    on this 1-core box) unless BSMR_RUN_SLOW=1 — keeps the default
+    one-shot suite under ~5 minutes. The slow tests' logic is covered by
+    fast in-process variants; the slow ones add subprocess isolation."""
+    if os.environ.get("BSMR_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow; set BSMR_RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def small_mask() -> CSR:
     """Structured mask with planted dense blocks + uniform noise."""

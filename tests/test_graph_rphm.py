@@ -132,12 +132,14 @@ def test_diff_sddmm_gradients_match_xla():
         return jnp.vdot(d, w[0]) + jnp.vdot(g, w[1]) + jnp.vdot(r, w[2])
 
     def loss_plain(a, b):
+        from bsmr_sddmm_tpu.ops.graph_rphm import _dense_panel_scatter
         d, g, r = body(a, b, dplan)
         nnz = plan.nnz
-        d = jnp.where(dplan.tile_scatter < nnz, d, 0.0)
+        _, d_scatter = _dense_panel_scatter(plan, dplan)
+        d = jnp.where(d_scatter < nnz, d, 0.0)
         g = jnp.where(dplan.g_scatter < nnz, g, 0.0)
         r = jnp.where(dplan.res_out < nnz, r, 0.0)
-        wd = jnp.where(dplan.tile_scatter < nnz, w[0], 0.0)
+        wd = jnp.where(d_scatter < nnz, w[0], 0.0)
         wg = jnp.where(dplan.g_scatter < nnz, w[1], 0.0)
         wr = jnp.where(dplan.res_out < nnz, w[2], 0.0)
         return jnp.vdot(d, wd) + jnp.vdot(g, wg) + jnp.vdot(r, wr)

@@ -167,7 +167,11 @@ def test_make_matrices_list(tmp_path):
 # Suite runner (subprocess isolation) — one real end-to-end run
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_runner_end_to_end(tmp_path):
+    """Full subprocess-isolated sweep (~3 min: two child jax imports on
+    this box). The runner loop logic runs fast in
+    test_runner_loop_in_process; this adds the real process isolation."""
     d = tmp_path / "ds"
     d.mkdir()
     csr = random_mask(256, 256, 4000, seed=7, block_rows=16, block_cols=64)
@@ -187,6 +191,39 @@ def test_runner_end_to_end(tmp_path):
     a = analyze_logs([str(logdir / f) for f in logfiles], k=32)
     assert a.accuracy.get("bsmr", 0) == 1.0
     assert a.accuracy.get("gather_dot", 0) == 1.0
+
+
+def test_runner_loop_in_process(tmp_path, monkeypatch):
+    """Runner sweep loop without subprocesses: per-(matrix, config) run
+    accounting, baseline fan-out, timeout rc propagation, and failure
+    counting — the logic of run_suite with run_matrix/run_baseline_matrix
+    stubbed (the real subprocess path runs in the slow-marked
+    test_runner_end_to_end)."""
+    from bsmr_sddmm_tpu.bench import runner
+
+    calls = []
+
+    def fake_matrix(path, log_dir, k=32, alpha=0.3, delta=0.3, **kw):
+        calls.append(("bsmr", path, k, alpha, delta))
+        return 124 if "hang" in path else 0
+
+    def fake_baseline(path, log_dir, baseline, k=32, **kw):
+        calls.append((baseline, path, k))
+        return 0
+
+    monkeypatch.setattr(runner, "run_matrix", fake_matrix)
+    monkeypatch.setattr(runner, "run_baseline_matrix", fake_baseline)
+    statuses = runner.run_suite(
+        ["a.mtx", "hang.mtx"], str(tmp_path), ks=(32, 64),
+        alphas=(0.1, 0.3), deltas=(0.3,), baselines=("gather_dot",))
+    # 2 matrices x 2 K x 2 alpha x 1 delta bsmr runs + 2 x 2 baseline
+    assert len([s for s in statuses if s["method"] == "bsmr"]) == 8
+    assert len([s for s in statuses if s["method"] == "gather_dot"]) == 4
+    # the hung matrix reports rc=124 without stopping the sweep
+    assert {s["returncode"] for s in statuses
+            if s["file"] == "hang.mtx" and s["method"] == "bsmr"} == {124}
+    assert all(s["returncode"] == 0 for s in statuses
+               if s["file"] == "a.mtx")
 
 
 # ---------------------------------------------------------------------------
@@ -209,23 +246,56 @@ def test_distributed_initialize_noop_single_process():
 
 
 def test_weak_scaling_real_sddmm():
-    """Weak scaling drives the REAL sharded hybrid SDDMM (rphm hot
-    path) on the virtual mesh — per-device work constant, rows/nnz grow
-    with the mesh (round-1 gap: the helper had only ever timed a dummy
-    lambda)."""
+    """Weak scaling of the REAL sharded hybrid SDDMM. Wall time on the
+    1-core virtual mesh is non-evidence (all devices timeshare one
+    core), so the falsifiable assertions are structural: (a) per-shard
+    plan shapes stay CONSTANT as the mesh grows with constant per-device
+    work, and (b) the replicated-B hot path contains NO collectives."""
+    import jax
+    import numpy as np
     from bsmr_sddmm_tpu.config import SddmmConfig
-    from bsmr_sddmm_tpu.parallel import distributed
+    from bsmr_sddmm_tpu.datasets import banded
+    from bsmr_sddmm_tpu.formats import make_dense
+    from bsmr_sddmm_tpu.parallel.distributed import _crop_cols
+    from bsmr_sddmm_tpu.parallel.sharding import (
+        make_mesh, make_sharded_sddmm, shard_operands)
+    from bsmr_sddmm_tpu.reorder import bsmr as bsmr_reorder
 
     cfg = SddmmConfig(k=32, panel_height=16, dense_chunk=16,
                       residual_chunk=2048)
-    res = distributed.sddmm_weak_scaling(
-        [1, 2, 4], rows_per_device=256, nnz_per_device=4000,
-        cols=512, k=32, bandwidth=64, config=cfg, iterations=2)
-    assert set(res) == {1, 2, 4}
-    assert res[1]["efficiency"] == 1.0
+    rows_per, nnz_per, cols = 256, 4000, 512
+    shard_shapes = {}
+    for n in (1, 2, 4):
+        csr = _crop_cols(banded(n * rows_per, n * nnz_per, 64, seed=7),
+                         cols)
+        mesh = make_mesh(n)
+        reord = bsmr_reorder(csr, cfg)
+        fn, dplan, plans = make_sharded_sddmm(csr, reord, cfg, mesh,
+                                              k=32, emit="rphm")
+        assert len(plans) == n
+        # (a) per-shard shapes constant across shards AND across mesh
+        # sizes (up to one shape bucket: 256-row slices of the same
+        # banded generator pack to the same bucketed counts)
+        shapes = {(p.tile_panel.shape, p.g_panel.shape,
+                   p.res_arow.shape, p.num_panels) for p in plans}
+        assert len(shapes) == 1, f"shards differ in shape: {shapes}"
+        shard_shapes[n] = shapes.pop()
+        # (b) no collectives in the replicated-B hot path
+        A = make_dense(csr.rows, 32, seed=1)
+        Bt = make_dense(csr.cols, 32, seed=2)
+        A_dev, Bt_dev = shard_operands(A, Bt, mesh)
+        jaxpr = str(jax.make_jaxpr(fn)(A_dev, Bt_dev, dplan))
+        for coll in ("all_gather", "psum", "all_to_all", "ppermute",
+                     "reduce_scatter"):
+            assert coll not in jaxpr, f"{coll} in replicated-B hot path"
+        # run it: outputs must be finite (compiles + executes per-shard)
+        d, g, r = fn(A_dev, Bt_dev, dplan)
+        assert np.isfinite(np.asarray(d)).all()
+    base = shard_shapes[1]
     for n in (2, 4):
-        assert res[n]["nnz_per_s"] > 0
-        assert res[n]["efficiency"] > 0
+        # per-shard tile counts stay within one bucketing step (<= 2x)
+        for got, want in zip(shard_shapes[n][:3], base[:3]):
+            assert got[0] <= 2 * want[0], (n, got, want)
 
 
 def test_reorder_cache_roundtrip(tmp_path, monkeypatch):

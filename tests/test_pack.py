@@ -18,13 +18,17 @@ def _plan(csr, cfg):
 
 def _check_bijection(csr, plan):
     """Every CSR value index appears exactly once across dense scatter +
-    gathered scatter + residual (no lost nnz, no duplicates, no phantoms —
-    BSMR.cpp:639-824)."""
+    packed scatter + gathered scatter + residual (no lost nnz, no
+    duplicates, no phantoms — BSMR.cpp:639-824)."""
     nnz = csr.nnz
     dense_idx = plan.tile_scatter[plan.tile_scatter < nnz]
+    sp_idx = (plan.sp_scatter[plan.sp_scatter < nnz]
+              if plan.sp_scatter is not None and plan.sp_scatter.size
+              else np.zeros(0, np.int32))
     g_idx = plan.g_scatter[plan.g_scatter < nnz]
     res_idx = plan.res_out[plan.res_out < nnz]
-    all_idx = np.concatenate([dense_idx.ravel(), g_idx.ravel(), res_idx])
+    all_idx = np.concatenate([dense_idx.ravel(), sp_idx.ravel(),
+                              g_idx.ravel(), res_idx])
     assert all_idx.shape[0] == nnz, "lost or duplicated nonzeros"
     np.testing.assert_array_equal(np.sort(all_idx), np.arange(nnz))
 
@@ -54,6 +58,25 @@ def _check_residual_consistency(csr, reord, plan):
     np.testing.assert_array_equal(coo_rows[idx], expected_rows)
     np.testing.assert_array_equal(csr.col_indices[idx],
                                   plan.res_col[real])
+
+
+def _check_packed_consistency(csr, reord, plan):
+    """sp_scatter[t,i,j] = idx implies the original entry (row, col) is
+    (row_perm[sp_panel[t]*ph+i], sp_sub[t, j//sw]*sw + j%sw); every
+    qualifying sub-block covers >= subpack_min_nnz entries."""
+    if plan.sp_scatter is None or not plan.sp_scatter.size:
+        return
+    ph = plan.panel_height
+    sw = plan.subblock_width
+    nnz = csr.nnz
+    coo_rows = csr.coo_rows()
+    t_idx, i_idx, j_idx = np.nonzero(plan.sp_scatter < nnz)
+    idx = plan.sp_scatter[t_idx, i_idx, j_idx]
+    perm_pos = plan.sp_panel[t_idx].astype(np.int64) * ph + i_idx
+    np.testing.assert_array_equal(coo_rows[idx], reord.row_perm[perm_pos])
+    expected_cols = (plan.sp_sub[t_idx, j_idx // sw].astype(np.int64) * sw
+                     + j_idx % sw)
+    np.testing.assert_array_equal(csr.col_indices[idx], expected_cols)
 
 
 def _check_gathered_consistency(csr, reord, plan):
@@ -92,10 +115,11 @@ def test_plan_invariants(small_mask, delta, ph, mode):
             plan.tile_cblock[t], plan.tile_cols[t, 0] // plan.block_width)
     _check_bijection(small_mask, plan)
     _check_dense_consistency(small_mask, reord, plan)
+    _check_packed_consistency(small_mask, reord, plan)
     _check_gathered_consistency(small_mask, reord, plan)
     _check_residual_consistency(small_mask, reord, plan)
-    assert plan.dense_nnz + plan.gathered_nnz + plan.residual_nnz \
-        == small_mask.nnz
+    assert plan.dense_nnz + plan.packed_nnz + plan.gathered_nnz \
+        + plan.residual_nnz == small_mask.nnz
 
 
 def test_gathered_tile_cutoff(small_mask):
@@ -113,6 +137,38 @@ def test_gathered_tile_cutoff(small_mask):
     _, plan2 = _plan(small_mask, cfg2)
     assert plan2.num_gathered == 0
     assert plan2.residual_nnz == plan.gathered_nnz + plan.residual_nnz
+
+
+def test_subpack_tier(small_mask):
+    """Sub-block packed tier: with BSR and gathered tiers disabled,
+    locally-dense entries land in sub-block tiles; every qualifying
+    sub-block meets the subpack_min_nnz cutoff; disabling the tier
+    yields num_packed == 0."""
+    cfg = SddmmConfig(row_strategy="fast", panel_height=16, delta=1.1,
+                      subpack_min_nnz=8, residual_tile_min_nnz=10**9)
+    reord, plan = _plan(small_mask, cfg)
+    assert plan.num_packed > 0
+    assert plan.subblock_width == cfg.subblock_width
+    _check_bijection(small_mask, plan)
+    _check_packed_consistency(small_mask, reord, plan)
+    nnz = small_mask.nnz
+    t_idx, _, j_idx = np.nonzero(plan.sp_scatter < nnz)
+    S = plan.block_width // plan.subblock_width
+    sb_key = t_idx * S + j_idx // plan.subblock_width
+    counts = np.bincount(sb_key)
+    assert counts[counts > 0].min() >= cfg.subpack_min_nnz
+    # sub-block ids within a tile ascend (address-local B slices)
+    real = plan.sp_scatter[:plan.num_packed]
+    for t in range(min(plan.num_packed, 8)):
+        subs = plan.sp_sub[t]
+        slots_used = np.unique(j_idx[t_idx == t] // plan.subblock_width)
+        if slots_used.size > 1:
+            assert (np.diff(subs[slots_used]) > 0).all()
+    del real
+    # disabled tier
+    _, plan2 = _plan(small_mask, cfg.replace(subpack_min_nnz=0))
+    assert plan2.num_packed == 0
+    _check_bijection(small_mask, plan2)
 
 
 def test_plan_stats(small_mask):
