@@ -1,0 +1,317 @@
+"""ICI ring execution: B-panel rotation overlapped with per-panel compute.
+
+The b-sharded path in :mod:`bsmr_sddmm_tpu.parallel.sharding` does one
+blocking ``all_gather`` of B before any compute — every flop waits for
+the full (N, K) operand. This module keeps B sharded the whole time:
+device d starts holding B panel d ((N/n, K) rows of B^T), computes the
+part of its shard's SDDMM whose mask columns fall in that panel, and
+passes the panel to its ring neighbor with ``lax.ppermute`` while XLA
+overlaps the next panel's transfer with the current panel's compute (the
+standard JAX collective-matmul pattern; on TPU hardware the
+collective-permute rides ICI — SURVEY.md section 2d's north star; the
+reference has no analogue, it is single-GPU).
+
+Peak per-device B memory is 2 panels (current + in-flight) instead of
+the all-gather path's full N*K — the memory-scalable layout for large B.
+
+Packing: each (row-panel shard, B panel) pair gets a static-shaped tile
+group. Tiers are dense BSR tiles + per-nnz residual; the packed/gathered
+tiers are cblock-unaligned or window-impure in general and stay on the
+single-program paths (a plan whose autotuned split leans on them should
+prefer the all-gather layout — the cost model's call).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bsmr_sddmm_tpu.config import SddmmConfig
+from bsmr_sddmm_tpu.formats import CSR
+from bsmr_sddmm_tpu.parallel.sharding import AXIS, put_global
+from bsmr_sddmm_tpu.reorder import BsmrReordering, _concat_ranges
+
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "bf16x3": jax.lax.Precision.HIGH,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+@dataclasses.dataclass
+class RingPlan:
+    """Static-shaped per-(shard, B-panel) packing for the ring body.
+
+    Device arrays are stacked (n_shards * n_panels, ...) with the leading
+    dim sharded; inside shard_map each device sees (n_panels, ...) — its
+    own row shard's groups, indexed by the B panel it currently holds.
+    """
+
+    n: int                      # mesh size = ring length = B panel count
+    rows: int
+    cols: int                   # original N
+    w: int                      # B panel width (rows of Bt), n * w >= N
+    nnz: int
+    k: int
+    panel_height: int
+    block_width: int
+    panels_per_shard: int       # P_l: row panels per shard (padded common)
+    tiles_per_group: int        # Td
+    res_per_group: int          # E
+
+    row_perm: np.ndarray        # (n, P_l * ph) int32 (pad: 0)
+    tile_rpanel: np.ndarray     # (n, n, Td) int32 local row panel
+    tile_cb: np.ndarray         # (n, n, Td) int32 cblock LOCAL to panel
+    tile_scatter: np.ndarray    # (n, n, Td, ph, bw) int32 into [0, nnz]
+    res_arow: np.ndarray        # (n, n, E) int32 local permuted A row
+    res_col: np.ndarray         # (n, n, E) int32 col LOCAL to panel
+    res_out: np.ndarray         # (n, n, E) int32 into [0, nnz]
+    rphm_to_csr: np.ndarray     # (nnz,) int32 into the stacked outputs
+
+
+def pack_ring_plans(csr: CSR, reord: BsmrReordering,
+                    config: SddmmConfig, n_shards: int,
+                    k: Optional[int] = None) -> RingPlan:
+    """Pack the mask for the ring: nnz-balanced contiguous row-panel
+    shards (as pack_shard_plans), then per shard a (B panel) -> tile
+    group split. Dense tiles are the natural 128-wide column blocks
+    whose in-panel count meets delta (col_mode="bsr" semantics,
+    reference colReordering.cu:246-261 re-thresholded at MXU width);
+    everything else is per-nnz residual grouped by B panel."""
+    k = config.k if k is None else k
+    ph, bw = config.panel_height, config.block_width
+    n = n_shards
+    N = csr.cols
+    nnz = csr.nnz
+    # B panel width: multiple of bw, n panels cover N
+    per = -(-N // n)           # ceil(N / n)
+    w = -(-per // bw) * bw     # rounded up to a cblock multiple
+    cb_per_panel = w // bw
+    thresh = max(int(np.ceil(config.delta * ph * bw)), 1)
+
+    perm = reord.row_perm.astype(np.int64)
+    R = perm.shape[0]
+    num_panels = -(-R // ph)
+    row_nnz = csr.row_nnz()[perm]
+    pad_rows = num_panels * ph - R
+    panel_nnz = np.concatenate([row_nnz, np.zeros(pad_rows, np.int64)]) \
+        .reshape(num_panels, ph).sum(axis=1)
+    cum = np.concatenate([[0], np.cumsum(panel_nnz)])
+    targets = cum[-1] * np.arange(1, n) / n
+    bounds = np.concatenate([[0], np.searchsorted(cum, targets),
+                             [num_panels]]).astype(np.int64)
+    bounds = np.maximum.accumulate(bounds)
+    P_l = max(int((bounds[1:] - bounds[:-1]).max()), 1)
+
+    shards = []
+    Td_max, E_max = 1, 1
+    for s in range(n):
+        p0, p1 = int(bounds[s]), int(bounds[s + 1])
+        rows = perm[p0 * ph: min(p1 * ph, R)]
+        rn = csr.row_nnz()[rows]
+        pos = np.repeat(np.arange(rows.shape[0], dtype=np.int64), rn)
+        eidx = _concat_ranges(csr.row_offsets[rows], rn)
+        cols = csr.col_indices[eidx].astype(np.int64)
+        rpanel = pos // ph
+        lrow = pos % ph
+        cblock = cols // bw
+        bpanel = cols // w
+        # dense membership: (rpanel, cblock) counts
+        keyc = rpanel * np.int64(cb_per_panel * n + 1) + cblock
+        order = np.argsort(keyc, kind="stable")
+        ks = keyc[order]
+        uq_pos = np.nonzero(np.diff(ks, prepend=-1))[0]
+        uq_cnt = np.diff(np.append(uq_pos, ks.shape[0]))
+        qual = uq_cnt >= thresh
+        ent_uq = np.searchsorted(ks[uq_pos], keyc)
+        is_dense = qual[ent_uq]
+        # tiles grouped by B panel
+        q_key = ks[uq_pos][qual]
+        q_rp = q_key // np.int64(cb_per_panel * n + 1)
+        q_cb = q_key % np.int64(cb_per_panel * n + 1)
+        q_bp = q_cb // cb_per_panel
+        tile_of_uq = np.full(uq_pos.shape[0], -1, np.int64)
+        # order tiles by (b panel, rpanel, cblock): group-local ids
+        t_order = np.lexsort((q_cb, q_rp, q_bp))
+        q_rp, q_cb, q_bp = q_rp[t_order], q_cb[t_order], q_bp[t_order]
+        grp_counts = np.bincount(q_bp, minlength=n)
+        Td_max = max(Td_max, int(grp_counts.max()) if q_bp.size else 0)
+        within = np.arange(q_bp.shape[0]) - np.concatenate(
+            [[0], np.cumsum(grp_counts)])[q_bp]
+        qual_ids = np.nonzero(qual)[0][t_order]
+        tile_of_uq[qual_ids] = q_bp * (1 << 32) + within  # packed (bp, id)
+        res_counts = np.bincount(bpanel[~is_dense], minlength=n)
+        E_max = max(E_max, int(res_counts.max()) if res_counts.size else 0)
+        shards.append(dict(
+            rows=rows, eidx=eidx, cols=cols, rpanel=rpanel, lrow=lrow,
+            cblock=cblock, bpanel=bpanel, is_dense=is_dense,
+            ent_uq=ent_uq, tile_of_uq=tile_of_uq,
+            q_rp=q_rp, q_cb=q_cb, q_bp=q_bp, grp_counts=grp_counts))
+
+    Td = max(Td_max, 1)
+    E = max(E_max, 1)
+    row_perm_arr = np.zeros((n, P_l * ph), np.int32)
+    tile_rpanel = np.zeros((n, n, Td), np.int32)
+    tile_cb = np.zeros((n, n, Td), np.int32)
+    tile_scatter = np.full((n, n, Td, ph, bw), nnz, np.int32)
+    res_arow = np.zeros((n, n, E), np.int32)
+    res_col = np.zeros((n, n, E), np.int32)
+    res_out = np.full((n, n, E), nnz, np.int32)
+
+    for s, sh in enumerate(shards):
+        row_perm_arr[s, :sh["rows"].shape[0]] = sh["rows"]
+        # tiles
+        gc = sh["grp_counts"]
+        for p in np.nonzero(gc)[0]:
+            m = sh["q_bp"] == p
+            cnt = int(gc[p])
+            tile_rpanel[s, p, :cnt] = sh["q_rp"][m]
+            tile_cb[s, p, :cnt] = sh["q_cb"][m] - p * cb_per_panel
+        # dense entries -> scatter
+        de = sh["is_dense"]
+        packed = sh["tile_of_uq"][sh["ent_uq"][de]]
+        bp_of_e = (packed >> 32).astype(np.int64)
+        tid_of_e = (packed & ((1 << 32) - 1)).astype(np.int64)
+        tile_scatter[s, bp_of_e, tid_of_e, sh["lrow"][de],
+                     sh["cols"][de] % bw] = sh["eidx"][de]
+        # residual entries grouped by b panel
+        re_m = ~de
+        rbp = sh["bpanel"][re_m]
+        order = np.argsort(rbp, kind="stable")
+        rbp_s = rbp[order]
+        starts = np.searchsorted(rbp_s, np.arange(n))
+        ends = np.searchsorted(rbp_s, np.arange(n), side="right")
+        r_pos = sh["rpanel"][re_m][order] * ph + sh["lrow"][re_m][order]
+        r_col = sh["cols"][re_m][order]
+        r_idx = sh["eidx"][re_m][order]
+        for p in range(n):
+            s0, e0 = int(starts[p]), int(ends[p])
+            cnt = e0 - s0
+            if not cnt:
+                continue
+            res_arow[s, p, :cnt] = r_pos[s0:e0]
+            res_col[s, p, :cnt] = r_col[s0:e0] - p * w
+            res_out[s, p, :cnt] = r_idx[s0:e0]
+
+    # inverse map into the stacked ring outputs:
+    # dense block [(s*n + p)*Td*ph*bw + ...], then residual after all dense
+    d_total = n * n * Td * ph * bw
+    rphm_to_csr = np.zeros(nnz, np.int32)
+    ts = tile_scatter.reshape(-1)
+    m = ts < nnz
+    rphm_to_csr[ts[m]] = np.nonzero(m)[0].astype(np.int32)
+    ro = res_out.reshape(-1)
+    m = ro < nnz
+    rphm_to_csr[ro[m]] = (np.nonzero(m)[0] + d_total).astype(np.int32)
+
+    return RingPlan(
+        n=n, rows=csr.rows, cols=N, w=w, nnz=nnz, k=k,
+        panel_height=ph, block_width=bw, panels_per_shard=P_l,
+        tiles_per_group=Td, res_per_group=E,
+        row_perm=row_perm_arr, tile_rpanel=tile_rpanel, tile_cb=tile_cb,
+        tile_scatter=tile_scatter, res_arow=res_arow, res_col=res_col,
+        res_out=res_out, rphm_to_csr=rphm_to_csr)
+
+
+def ring_operands(A: np.ndarray, Bt: np.ndarray, plan: RingPlan,
+                  mesh: Mesh) -> Tuple[jax.Array, jax.Array]:
+    """A replicated; Bt padded to n*w rows and row-sharded (panel d on
+    device d)."""
+    pad = plan.n * plan.w - Bt.shape[0]
+    Bt_p = np.pad(np.asarray(Bt), ((0, pad), (0, 0))) if pad else Bt
+    return (put_global(np.asarray(A), NamedSharding(mesh, P())),
+            put_global(Bt_p, NamedSharding(mesh, P(AXIS))))
+
+
+def make_ring_sddmm(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
+                    mesh: Mesh, k: Optional[int] = None,
+                    emit: str = "csr") -> Tuple[Callable, RingPlan]:
+    """Build the ring-overlap SDDMM: ``fn(A, Bt_sharded, dplan_arrays)``.
+
+    Each of the n unrolled steps computes the tile group for the B panel
+    the device currently holds, then rotates the panel one hop with
+    ``lax.ppermute`` — XLA schedules the permute of step i+1 concurrently
+    with the compute of step i (no data dependence), so the transfer
+    rides ICI under the matmuls.
+    """
+    n = mesh.devices.size
+    plan = pack_ring_plans(csr, reord, config, n, k=k)
+    ph, bw, kk = plan.panel_height, plan.block_width, plan.k
+    P_l = plan.panels_per_shard
+    w = plan.w
+    precision = _PRECISION[config.matmul_precision]
+    nnz = plan.nnz
+    perm_pairs = [((j + 1) % n, j) for j in range(n)]   # receive from right
+
+    def shard_body(A, B_local, row_perm, tile_rp, tile_cb, res_ar,
+                   res_cl):
+        # per-device shapes: B_local (1*w, K) -> (w, K); groups (1, n, ...)
+        B_cur = B_local.reshape(w, kk)
+        A_perm = jnp.take(A.astype(jnp.float32),
+                          row_perm.reshape(-1), axis=0)   # (P_l*ph, K)
+        A_panels = A_perm.reshape(P_l, ph, kk)
+        dev = jax.lax.axis_index(AXIS)
+        dense_out = jnp.zeros((n, plan.tiles_per_group, ph, bw),
+                              jnp.float32)
+        res_vals = jnp.zeros((n, plan.res_per_group), jnp.float32)
+        tile_rp = tile_rp.reshape(n, plan.tiles_per_group)
+        tile_cb = tile_cb.reshape(n, plan.tiles_per_group)
+        res_ar = res_ar.reshape(n, plan.res_per_group)
+        res_cl = res_cl.reshape(n, plan.res_per_group)
+        for i in range(n):
+            p = jax.lax.rem(dev + i, n)
+            rp = jnp.take(tile_rp, p, axis=0)             # (Td,)
+            cb = jnp.take(tile_cb, p, axis=0)
+            B_blocks = B_cur.reshape(w // bw, bw, kk)
+            b = jnp.take(B_blocks, cb, axis=0)            # (Td, bw, K)
+            a = jnp.take(A_panels, rp, axis=0)            # (Td, ph, K)
+            part = jax.lax.dot_general(
+                a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                precision=precision,
+                preferred_element_type=jnp.float32)
+            dense_out = dense_out.at[p].set(part)
+            ar = jnp.take(res_ar, p, axis=0)
+            cl = jnp.take(res_cl, p, axis=0)
+            av = jnp.take(A_perm, ar, axis=0)             # (E, K)
+            bv = jnp.take(B_cur, cl, axis=0)              # (E, K)
+            res_vals = res_vals.at[p].set(jnp.sum(av * bv, axis=-1))
+            if i < n - 1:
+                B_cur = jax.lax.ppermute(B_cur, AXIS, perm=perm_pairs)
+        return dense_out, res_vals
+
+    mapped = jax.shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)),
+    )
+
+    dev_arrays = tuple(
+        put_global(a, NamedSharding(mesh, P(AXIS)))
+        for a in (plan.row_perm,
+                  plan.tile_rpanel.reshape(n, -1),
+                  plan.tile_cb.reshape(n, -1),
+                  plan.res_arow.reshape(n, -1),
+                  plan.res_col.reshape(n, -1)))
+
+    if emit == "rphm":
+        def fn(A, Bt):
+            return mapped(A, Bt, *dev_arrays)
+        return jax.jit(fn), plan
+
+    if emit != "csr":
+        raise ValueError(f"unknown emit {emit!r}")
+    csr_map = jnp.asarray(plan.rphm_to_csr)
+
+    def fn(A, Bt):
+        d, r = mapped(A, Bt, *dev_arrays)
+        big = jnp.concatenate([d.reshape(-1), r.reshape(-1)])
+        return jnp.take(big, csr_map)
+
+    return jax.jit(fn), plan

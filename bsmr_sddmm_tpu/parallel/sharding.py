@@ -47,6 +47,20 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (AXIS,))
 
 
+def put_global(arr, sharding) -> jax.Array:
+    """Place a host-replicated numpy/jax array with ``sharding``. In a
+    single process this is ``jax.device_put``; in a multi-process run
+    (jax.distributed) the sharding spans non-addressable devices, so the
+    global array is assembled from each process's local shards via
+    ``jax.make_array_from_callback`` (every process holds the full host
+    value — plans are packed deterministically everywhere)."""
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    np_arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        np_arr.shape, sharding, lambda idx: np_arr[idx])
+
+
 def _pad_leading(arr: np.ndarray, mult: int, fill) -> np.ndarray:
     n = arr.shape[0]
     target = -(-n // mult) * mult
@@ -67,7 +81,7 @@ def shard_device_plan(plan: TilePlan, mesh: Mesh) -> DevicePlan:
     repl = NamedSharding(mesh, P())
 
     def put(arr, spec):
-        return jax.device_put(jnp.asarray(arr), spec)
+        return put_global(arr, spec)
 
     if plan.mode != "bsr":
         tile_src = plan.tile_cols
@@ -108,8 +122,7 @@ def shard_operands(A, Bt, mesh: Mesh, b_sharded: bool = False):
             f"b_sharded needs N ({Bt.shape[0]}) divisible by the mesh "
             f"size ({mesh.devices.size}); pad B's columns first")
     b_spec = NamedSharding(mesh, P(AXIS)) if b_sharded else repl
-    return (jax.device_put(jnp.asarray(A), repl),
-            jax.device_put(jnp.asarray(Bt), b_spec))
+    return put_global(A, repl), put_global(Bt, b_spec)
 
 
 def _stack_shard_dplans(plans, mesh: Mesh) -> DevicePlan:
@@ -131,8 +144,7 @@ def _stack_shard_dplans(plans, mesh: Mesh) -> DevicePlan:
                     arrs.append(p.tile_cblock)
         else:
             arrs = [getattr(p, name) for p in plans]
-        return jax.device_put(jnp.asarray(np.concatenate(arrs, axis=0)),
-                              sharded)
+        return put_global(np.concatenate(arrs, axis=0), sharded)
 
     return DevicePlan(
         row_perm_padded=stack("row_perm_padded"),
@@ -148,7 +160,7 @@ def _stack_shard_dplans(plans, mesh: Mesh) -> DevicePlan:
         res_arow=stack("res_arow"),
         res_col=stack("res_col"),
         res_out=stack("res_out"),
-        rphm_to_csr=jax.device_put(jnp.zeros(0, jnp.int32), repl),
+        rphm_to_csr=put_global(np.zeros(0, np.int32), repl),
     )
 
 
