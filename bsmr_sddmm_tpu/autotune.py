@@ -24,20 +24,38 @@ from bsmr_sddmm_tpu.formats import CSR
 from bsmr_sddmm_tpu.pack import TilePlan, pack_tiles
 from bsmr_sddmm_tpu.reorder import BsmrReordering, split_columns
 
-#: Measured v5e tier costs (PERF.md): ns per unit.
+#: Measured v5e tier costs: per-unit cost is an affine function of K
+#: (cost = base + k_slope * K), because each tier's bytes scale with K
+#: while its descriptor/pipeline terms do not. The checked-in values are
+#: DMA-model fits anchored to K=128 measurements (PERF.md: dense
+#: 52 + 208/G ns/tile, gathered ~470 ns, pernnz ~5.8 ns); calibrate()
+#: refits base and slope from K=32 and K=128 runs on the live device.
 V5E_COSTS = dict(
-    # dense fat step: per-tile cost = floor + step_overhead / G
-    # (measured 78/67/58 ns/tile at G=8/16/32)
-    dense_tile_floor_ns=52.0,
-    dense_step_overhead_ns=208.0,
-    # sub-block packed tile: A panel + out tile + S contiguous (sw, K)
-    # B block DMAs (~96 KB total at ph=32/K=128/sw=32) — initial DMA
-    # estimate, refined by calibrate()
-    packed_tile_ns=300.0,
-    gathered_tile_ns=470.0,   # 128-row gather + batched MXU matmul
-    gathered_tile_big_ns=1100.0,  # past the >64MB gather cliff (windowed)
-    pernnz_ns=5.8,            # two row gathers + VPU reduce
-    pernnz_big_ns=9.0,        # big-operand windowed tail
+    # dense BSR tile floor: out tile (ph*bw*4 bytes) + A panel (ph*K*4)
+    # at stream rate -> 26 + 0.2*K (52 at K=128, matching the measured
+    # fat-step fit 52 + 208/G)
+    dense_floor_base_ns=26.0,
+    dense_floor_k_ns=0.20,
+    # per-STEP overhead (divide by fat group G): pipeline bubble + the
+    # shared B block DMA (bw*K*4 bytes) -> 108 + 0.79*K (208 at K=128)
+    dense_step_base_ns=108.0,
+    dense_step_k_ns=0.79,
+    # sub-block packed tile (G=1): floor + step overhead + S contiguous
+    # (sw, K) B block gathers (~0.47*K ns at block-gather rate)
+    packed_base_ns=134.0,
+    packed_k_ns=0.67,
+    # gathered tile: 128-row-gather descriptors (K-independent) + B/out
+    # bytes (measured ~470 ns at K=128)
+    gathered_base_ns=370.0,
+    gathered_k_ns=0.80,
+    gathered_big_base_ns=1000.0,  # past the >64MB gather cliff (windowed)
+    gathered_big_k_ns=0.80,
+    # per-nnz residual: two row-gather descriptors, measured
+    # K-independent up to K=256 (descriptor-bound)
+    pernnz_base_ns=5.8,
+    pernnz_k_ns=0.0,
+    pernnz_big_base_ns=9.0,
+    pernnz_big_k_ns=0.0,
     fixed_us=150.0,           # dispatch / A-permute / padding floor
     mxu_tflops=55.0,          # bf16x3 effective fp32-class matmul rate
     stream_gbps=645.0,        # contiguous HBM read+write
@@ -49,6 +67,16 @@ V5E_COSTS = dict(
     # it clearly wins.
     sampled_dot_tflops=13.0,
 )
+
+#: Legacy single-K key aliases (round-2 disk caches may carry these);
+#: mapped onto the affine model at K=128 by current_costs().
+_LEGACY_KEYS = {
+    "dense_tile_floor_ns": ("dense_floor_base_ns", "dense_floor_k_ns"),
+    "dense_step_overhead_ns": ("dense_step_base_ns", "dense_step_k_ns"),
+    "packed_tile_ns": ("packed_base_ns", "packed_k_ns"),
+    "gathered_tile_ns": ("gathered_base_ns", "gathered_k_ns"),
+    "pernnz_ns": ("pernnz_base_ns", "pernnz_k_ns"),
+}
 
 DELTA_CANDIDATES = (0.002, 0.006, 0.02, 0.05, 0.15, 0.3)
 
@@ -63,16 +91,24 @@ def estimate_dense_ms(rows: int, cols: int, nnz: int, k: int,
     return flops_ms + costs["fixed_us"] / 1e3
 
 
+def _affine(costs: dict, prefix: str, k: int) -> float:
+    return costs[f"{prefix}_base_ns"] + costs[f"{prefix}_k_ns"] * k
+
+
 def estimate_plan_ms(plan: TilePlan,
                      costs: dict = V5E_COSTS) -> float:
-    """Predicted kernel time (rphm emit) for one packed plan."""
+    """Predicted kernel time (rphm emit) for one packed plan. Every tier
+    cost is affine in K (bytes scale with K; descriptors do not), so one
+    cost table prices all of K in {32..256} — fixing the round-2 weakness
+    of a K=128-only model skewing delta choice at other K."""
+    k = plan.k
     big = plan.window_rows is not None
-    dense_ns = (costs["dense_tile_floor_ns"]
-                + costs["dense_step_overhead_ns"] / max(plan.fat_group, 1))
-    g_ns = costs["gathered_tile_big_ns" if big else "gathered_tile_ns"]
-    e_ns = costs["pernnz_big_ns" if big else "pernnz_ns"]
+    dense_ns = (_affine(costs, "dense_floor", k)
+                + _affine(costs, "dense_step", k) / max(plan.fat_group, 1))
+    g_ns = _affine(costs, "gathered_big" if big else "gathered", k)
+    e_ns = _affine(costs, "pernnz_big" if big else "pernnz", k)
     total_ns = (plan.tile_panel.shape[0] * dense_ns
-                + plan.num_packed * costs["packed_tile_ns"]
+                + plan.num_packed * _affine(costs, "packed", k)
                 + plan.num_gathered * g_ns
                 + plan.num_residual * e_ns
                 + costs["fixed_us"] * 1e3)
@@ -161,16 +197,36 @@ def current_costs() -> dict:
     path = _cache_path(jax.devices()[0].device_kind)
     if os.path.exists(path):
         with open(path) as f:
-            _CALIBRATED = {**V5E_COSTS, **json.load(f)}
+            _CALIBRATED = _merge_costs(json.load(f))
         return _CALIBRATED
     return V5E_COSTS
 
 
-def calibrate(store: bool = True) -> dict:
-    """Measure the three tier constants on the current device with small
-    synthetic plans (one compile each, ~10-20 s once per machine) and
-    cache them to disk. Returns the refit cost table."""
+def _merge_costs(loaded: dict) -> dict:
+    """Overlay a disk cache onto the defaults. Round-2 caches carried
+    single-K keys anchored at K=128; they map onto the affine model by
+    keeping the default slope and shifting the base."""
+    merged = dict(V5E_COSTS)
+    for key, val in loaded.items():
+        if key in _LEGACY_KEYS:
+            base_key, slope_key = _LEGACY_KEYS[key]
+            merged[base_key] = val - merged[slope_key] * 128.0
+        else:
+            merged[key] = val
+    return merged
+
+
+CALIBRATION_KS = (32, 128)
+
+
+def calibrate(store: bool = True, ks=CALIBRATION_KS) -> dict:
+    """Measure the four tier costs on the current device at each K in
+    ``ks`` (small synthetic plans, one compile each) and fit the affine
+    base + slope*K model per tier. Caches to disk keyed by device kind.
+    Returns the refit cost table."""
     import json
+
+    import numpy as _np
 
     import jax
     import jax.numpy as jnp
@@ -182,43 +238,73 @@ def calibrate(store: bool = True) -> dict:
 
     global _CALIBRATED
     costs = dict(V5E_COSTS)
-    cfg = SddmmConfig(k=128, panel_height=32)
 
-    def tier_ms(csr, config, tier, delta):
+    def tier_per_unit(csr, config, tier, delta, k):
+        config = config.replace(k=k)
         reord = bsmr(csr, config.replace(delta=delta))
         plan = pack_tiles(csr, reord, config)
         body = jax.jit(make_sddmm_body(plan, config, only_tier=tier))
-        A = jnp.asarray(make_dense(csr.rows, config.k, seed=1))
-        Bt = jnp.asarray(make_dense(csr.cols, config.k, seed=2))
+        A = jnp.asarray(make_dense(csr.rows, k, seed=1))
+        Bt = jnp.asarray(make_dense(csr.cols, k, seed=2))
         ms, _ = time_jitted(body, A, Bt, device_plan(plan), iterations=8)
-        return ms, plan
+        units = {"dense": plan.tile_panel.shape[0],
+                 "packed": plan.sp_panel.shape[0],
+                 "gathered": plan.g_panel.shape[0],
+                 "residual": plan.res_arow.shape[0]}[tier]
+        return (ms * 1e6 / units if units else None), plan
 
-    # 1. dense BSR tiles: blocky mask, everything tiled
-    csr = random_mask(8192, 8192, 1_000_000, seed=3, block_rows=32,
-                      block_cols=256, block_fill=0.8)
-    ms, plan = tier_ms(csr, cfg, "dense", 0.02)
-    if plan.tile_panel.shape[0]:
-        per = ms * 1e6 / plan.tile_panel.shape[0]
-        # refit the floor, keeping the measured step-overhead slope
-        costs["dense_tile_floor_ns"] = max(
-            per - costs["dense_step_overhead_ns"] / max(plan.fat_group, 1),
-            1.0)
-    # 2. gathered tiles: uniform-ish mask, low tile cutoff
-    cfg_g = cfg.replace(residual_tile_min_nnz=16)
-    csr = random_mask(8192, 8192, 600_000, seed=4)
-    ms, plan = tier_ms(csr, cfg_g, "gathered", 0.02)
-    if plan.g_panel.shape[0]:
-        costs["gathered_tile_ns"] = ms * 1e6 / plan.g_panel.shape[0]
-    # 3. per-nnz residual
-    cfg_r = cfg.replace(residual_mode="pernnz")
-    ms, plan = tier_ms(csr, cfg_r, "residual", 1.1)
-    if plan.res_arow.shape[0]:
-        costs["pernnz_ns"] = ms * 1e6 / plan.res_arow.shape[0]
+    def fit(prefix, pairs):
+        """pairs: [(k, per_unit_ns)]; fit base + slope*k (clamped >= 0)."""
+        pairs = [(k, v) for k, v in pairs if v is not None]
+        if not pairs:
+            return
+        if len(pairs) == 1:
+            k0, v0 = pairs[0]
+            costs[f"{prefix}_base_ns"] = max(
+                v0 - costs[f"{prefix}_k_ns"] * k0, 0.5)
+            return
+        karr = _np.array([p[0] for p in pairs], float)
+        varr = _np.array([p[1] for p in pairs], float)
+        slope, base = _np.polyfit(karr, varr, 1)
+        costs[f"{prefix}_k_ns"] = max(float(slope), 0.0)
+        costs[f"{prefix}_base_ns"] = max(float(base), 0.5)
+
+    # 1. dense BSR tiles: blocky mask, everything tiled. The lumped
+    # per-tile cost is floor(K) + step(K)/G; subtract the default step
+    # model to recover the floor line.
+    csr_d = random_mask(8192, 8192, 1_000_000, seed=3, block_rows=32,
+                        block_cols=256, block_fill=0.8)
+    cfg = SddmmConfig(k=128, panel_height=32)
+    dense_pairs = []
+    for k in ks:
+        per, plan = tier_per_unit(csr_d, cfg, "dense", 0.02, k)
+        if per is not None:
+            G = max(plan.fat_group, 1)
+            step = (costs["dense_step_base_ns"]
+                    + costs["dense_step_k_ns"] * k) / G
+            dense_pairs.append((k, max(per - step, 0.5)))
+    fit("dense_floor", dense_pairs)
+    # 2. packed sub-block tiles: block mask below the BSR threshold
+    csr_p = random_mask(8192, 8192, 500_000, seed=5, block_rows=32,
+                        block_cols=32, block_fill=0.6)
+    cfg_p = cfg.replace(delta=1.1, residual_tile_min_nnz=1 << 30)
+    fit("packed", [(k, tier_per_unit(csr_p, cfg_p, "packed", 1.1, k)[0])
+                   for k in ks])
+    # 3. gathered tiles: uniform-ish mask, low tile cutoff, subpack off
+    cfg_g = cfg.replace(residual_tile_min_nnz=16, subpack_min_nnz=0)
+    csr_g = random_mask(8192, 8192, 600_000, seed=4)
+    fit("gathered", [(k, tier_per_unit(csr_g, cfg_g, "gathered",
+                                       0.02, k)[0]) for k in ks])
+    # 4. per-nnz residual
+    cfg_r = cfg.replace(residual_mode="pernnz", subpack_min_nnz=0)
+    fit("pernnz", [(k, tier_per_unit(csr_g, cfg_r, "residual",
+                                     1.1, k)[0]) for k in ks])
 
     _CALIBRATED = costs
     if store and jax.default_backend() != "cpu":
+        keys = [f"{p}_{s}_ns" for p in ("dense_floor", "packed",
+                                        "gathered", "pernnz")
+                for s in ("base", "k")]
         with open(_cache_path(jax.devices()[0].device_kind), "w") as f:
-            json.dump({k: costs[k] for k in
-                       ("dense_tile_floor_ns", "gathered_tile_ns",
-                        "pernnz_ns")}, f)
+            json.dump({k: costs[k] for k in keys}, f)
     return costs

@@ -58,8 +58,39 @@ def regime_of(group: str, m: int, n: int, nnz: int) -> str:
     return "opt" if m != n else "mesh"
 
 
+def load_structure_stats():
+    """Per-matrix 16x16-tile structure stats from the reference's own
+    BSMR run (K=128, alpha=0.3, delta=0.3 log): dense coverage =
+    numDenseData / NNZ and the average dense-block density — the
+    fidelity targets the replica generators are validated against
+    (tests/test_harness.py::test_opt_replica_structure_fidelity)."""
+    path = os.path.join(REF, "results_suiteSparse_dataset/BSMR_results",
+                        "BSMR_k_128_a_0.3_d_0.3.log")
+    stats = {}
+    cur = {}
+    name = None
+    with open(path, errors="replace") as f:
+        for line in f:
+            m = re.match(r"\[File : .*/([^/]+)\.mtx\]", line.strip())
+            if m:
+                name = m.group(1)
+                cur = {}
+                continue
+            for key in ("NNZ", "bsmr_numDenseData", "bsmr_averageDensity"):
+                m = re.search(rf"\[{key} : ([0-9.eE+-]+)\]", line)
+                if m:
+                    cur[key] = float(m.group(1))
+            if name and len(cur) == 3:
+                cov = cur["bsmr_numDenseData"] / max(cur["NNZ"], 1)
+                stats[name] = (round(cov, 4),
+                               round(cur["bsmr_averageDensity"], 4))
+                name = None
+    return stats
+
+
 def main():
     groups = load_groups()
+    stats = load_structure_stats()
     rows = {}
     for k in (32, 64, 128, 256):
         path = os.path.join(REF, f"results_suiteSparse_dataset/k{k}",
@@ -77,10 +108,14 @@ def main():
     out = sorted(rows.values(), key=lambda r: r["NNZ"])
     for r in out:
         r["regime"] = regime_of(r["group"], r["M"], r["N"], r["NNZ"])
+        if r["name"] in stats:
+            r["ref_dense_coverage"], r["ref_avg_density"] = \
+                stats[r["name"]]
     os.makedirs("bsmr_sddmm_tpu/data", exist_ok=True)
     cols = ["name", "group", "regime", "M", "N", "NNZ",
             "ref_bsmr_gflops_k32", "ref_bsmr_gflops_k64",
-            "ref_bsmr_gflops_k128", "ref_bsmr_gflops_k256"]
+            "ref_bsmr_gflops_k128", "ref_bsmr_gflops_k256",
+            "ref_dense_coverage", "ref_avg_density"]
     with open("bsmr_sddmm_tpu/data/suitesparse_replicas.csv", "w",
               newline="") as f:
         w = csv.DictWriter(f, fieldnames=cols)
