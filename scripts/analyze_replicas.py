@@ -17,8 +17,8 @@ from bsmr_sddmm_tpu.replicas import load_manifest
 
 
 def main() -> int:
-    log_dir = sys.argv[1] if len(sys.argv) > 1 else "results/v5e_r2/logs"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "results/v5e_r2"
+    log_dir = sys.argv[1] if len(sys.argv) > 1 else "results/v5e_r3/logs"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "results/v5e_r3"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 128
     results = parse_log_files(sorted(glob.glob(os.path.join(log_dir,
                                                             "*.log"))))
@@ -66,8 +66,21 @@ def main() -> int:
 
     summary = {"n_matrices": len(rows), "k": k}
     for m in methods + ["ref_bsmr_rtx4090"]:
-        summary[f"geomean_{m}"] = round(geomean([r.get(m) for r in rows]),
-                                        1)
+        vals = [r.get(m) for r in rows
+                if isinstance(r.get(m), (int, float))]
+        summary[f"geomean_{m}"] = round(geomean(vals), 1)
+        summary[f"n_{m}"] = len(vals)
+    # speedups on MATCHED subsets only (round-2 weakness: quoting a
+    # 5-matrix bcoo geomean against a 33-matrix bsmr geomean): geomean
+    # of per-matrix ratios over matrices where BOTH methods ran
+    for m in methods:
+        if m == "bsmr":
+            continue
+        ratios = [r["bsmr"] / r[m] for r in rows
+                  if isinstance(r.get("bsmr"), (int, float))
+                  and isinstance(r.get(m), (int, float)) and r[m] > 0]
+        summary[f"speedup_bsmr_vs_{m}"] = round(geomean(ratios), 2)
+        summary[f"n_matched_{m}"] = len(ratios)
     summary["geomean_vs_ref"] = round(geomean([r.get("vs_ref")
                                                for r in rows]), 4)
     # accuracy
