@@ -48,6 +48,8 @@ class MatrixResult:
     num_dense_blocks: int = 0
     dense_nnz: int = 0
     residual_nnz: int = 0
+    packed_nnz: int = 0
+    average_tile_density: float = 0.0
     row_reordering_ms: float = 0.0
     col_reordering_ms: float = 0.0
     pack_ms: float = 0.0
@@ -95,6 +97,8 @@ def record_to_result(rec: Dict[str, str]) -> Optional[MatrixResult]:
         num_dense_blocks=_i(rec, "numDenseBlocks"),
         dense_nnz=_i(rec, "denseNNZ"),
         residual_nnz=_i(rec, "residualNNZ"),
+        packed_nnz=_i(rec, "packedNNZ"),
+        average_tile_density=_f(rec, "averageDensity"),
         row_reordering_ms=_f(rec, "bsmr_rowReordering"),
         col_reordering_ms=_f(rec, "bsmr_colReordering"),
         pack_ms=_f(rec, "rphm"),

@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="gathered")
     p.add_argument("--row-strategy", choices=["exact", "fast", "none"],
                    default="fast")
+    p.add_argument("--subpack-min-nnz", type=int, default=12,
+                   help="nonzeros a 32-wide aligned column sub-block "
+                        "needs to join the packed tile tier (0 disables)")
+    p.add_argument("--subblock-width", type=int, default=32)
     p.add_argument("--validate", action="store_true",
                    help="check against the fp64 CPU oracle (reference "
                         "#define VALIDATE, src/sddmm.cu:7)")
@@ -77,6 +81,8 @@ def main(argv=None) -> int:
                       col_mode=args.col_mode,
                       residual_mode=args.residual_mode,
                       row_strategy=args.row_strategy,
+                      subpack_min_nnz=args.subpack_min_nnz,
+                      subblock_width=args.subblock_width,
                       reorder_cache=args.reorder_cache,
                       num_iterations=args.iterations)
     pipe = BsmrSddmm(csr, cfg)

@@ -146,6 +146,45 @@ def time_jitted(fn: Callable, *args, iterations: int = 10,
     return max(ms, 1e-6), result
 
 
+def time_tier_inprogram(body: Callable, A, Bt, dplan,
+                        opaque: bool = False,
+                        target_s: float = 0.15,
+                        iterations: int = 10) -> float:
+    """In-program timing of a single-array body (an ``only_tier``
+    callable): same harness as time_rphm_inprogram — jitted fori_loop,
+    carry-perturbed input, output consumed (first+last elements when the
+    output is an opaque pallas_call, full sum otherwise)."""
+    def make_rep(reps: int):
+        def fn(A, Bt, dplan):
+            def step(_, c):
+                out = body(A * (1.0 + c), Bt, dplan)
+                probe = (out.ravel()[0] + out.ravel()[-1] if opaque
+                         else jnp.sum(out) * 1e-30)
+                return probe * 1e-37
+            return jax.lax.fori_loop(0, reps, step, jnp.float32(0.0))
+        return jax.jit(fn)
+
+    def timed_batches(fn_rep, reps, n_batches=2):
+        ts = []
+        for _ in range(n_batches):
+            t0 = time.perf_counter()
+            force(fn_rep(A, Bt, dplan))
+            ts.append(time.perf_counter() - t0)
+        return max((min(ts) - _rtt()) / reps * 1e3, 1e-6)
+
+    pilot_reps = max(iterations, 4)
+    f = make_rep(pilot_reps)
+    force(f(A, Bt, dplan))
+    pilot_ms = timed_batches(f, pilot_reps)
+    pilot = max(pilot_ms / 1e3, 1e-6)
+    reps = int(min(max(pilot_reps, target_s / pilot), 4096))
+    if reps <= pilot_reps * 1.5:
+        return pilot_ms
+    g = make_rep(reps)
+    force(g(A, Bt, dplan))
+    return timed_batches(g, reps)
+
+
 def time_rphm_inprogram(body: Callable, A, Bt, dplan,
                         dense_opaque: bool = True,
                         target_s: float = 0.15,
