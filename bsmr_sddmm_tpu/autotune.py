@@ -40,10 +40,14 @@ V5E_COSTS = dict(
     # shared B block DMA (bw*K*4 bytes) -> 108 + 0.79*K (208 at K=128)
     dense_step_base_ns=108.0,
     dense_step_k_ns=0.79,
-    # sub-block packed tile (G=1): floor + step overhead + S contiguous
-    # (sw, K) B block gathers (~0.47*K ns at block-gather rate)
-    packed_base_ns=134.0,
-    packed_k_ns=0.67,
+    # hot-column packed tile (G=1): floor + step overhead + S contiguous
+    # (sw, K) B block slices of Bt2 (measured 173/179/226 ns/tile at
+    # K=32/128/256 on v5e)
+    packed_base_ns=158.0,
+    packed_k_ns=0.26,
+    # the ONE per-call Bt2 = take(Bt, colperm) gather: per-row descriptor
+    # cost (row bytes ride at full gather bandwidth)
+    colperm_row_ns=2.9,
     # gathered tile: 128-row-gather descriptors (K-independent) + B/out
     # bytes (measured ~470 ns at K=128)
     gathered_base_ns=370.0,
@@ -107,8 +111,12 @@ def estimate_plan_ms(plan: TilePlan,
                 + _affine(costs, "dense_step", k) / max(plan.fat_group, 1))
     g_ns = _affine(costs, "gathered_big" if big else "gathered", k)
     e_ns = _affine(costs, "pernnz_big" if big else "pernnz", k)
+    colperm_rows = (plan.sp_colperm.shape[0]
+                    if plan.sp_colperm is not None and plan.num_packed
+                    else 0)
     total_ns = (plan.tile_panel.shape[0] * dense_ns
                 + plan.num_packed * _affine(costs, "packed", k)
+                + colperm_rows * costs["colperm_row_ns"]
                 + plan.num_gathered * g_ns
                 + plan.num_residual * e_ns
                 + costs["fixed_us"] * 1e3)

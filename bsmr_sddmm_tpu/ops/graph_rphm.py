@@ -34,31 +34,20 @@ from bsmr_sddmm_tpu.pack import TilePlan
 _NEG = -1e30  # mask value; avoids inf-inf NaNs in empty rows
 
 
-def _dense_panel_scatter(plan: TilePlan, dplan: DevicePlan):
-    """The executed dense tier is [T BSR tiles | Tp packed sub-block
-    tiles]; return its combined (panel, scatter) device arrays. Tp == 0
-    returns the BSR arrays untouched (no copies)."""
-    Tp = plan.sp_panel.shape[0] if plan.sp_panel is not None else 0
-    if not Tp:
-        return dplan.tile_panel, dplan.tile_scatter
-    return (jnp.concatenate([dplan.tile_panel, dplan.sp_panel]),
-            jnp.concatenate([dplan.tile_scatter, dplan.sp_scatter]))
-
-
 def make_edge_softmax_rphm(plan: TilePlan) -> Callable:
-    """Build ``fn(dense, gathered, res, dplan) -> (dense, gathered, res)``
-    normalizing scores row-wise (numerically stable) entirely in the rphm
-    layout. ``dense`` is the executed dense tier (T + Tp, ph, bw) — BSR
-    tiles then packed sub-block tiles."""
+    """Build ``fn(dense, packed, gathered, res, dplan) -> same 4-tuple``
+    normalizing scores row-wise (numerically stable) entirely in the
+    four-tier rphm layout (no tier is ever concatenated — that would
+    copy the full dense output through HBM)."""
     P = max(plan.num_panels, 1)
     ph = plan.panel_height
     nnz = plan.nnz
     n_rows = P * ph
+    Tp = plan.sp_panel.shape[0] if plan.sp_panel is not None else 0
 
-    def fn(dense: jax.Array, gathered: jax.Array, res: jax.Array,
-           dplan: DevicePlan):
-        d_panel, d_scatter = _dense_panel_scatter(plan, dplan)
-        d_valid = d_scatter < nnz                   # (T+Tp, ph, bw)
+    def fn(dense: jax.Array, packed: jax.Array, gathered: jax.Array,
+           res: jax.Array, dplan: DevicePlan):
+        d_valid = dplan.tile_scatter < nnz          # (T, ph, bw)
         g_valid = dplan.g_scatter < nnz             # (Tg, ph, bw)
         r_valid = dplan.res_out < nnz               # (E,)
 
@@ -68,17 +57,23 @@ def make_edge_softmax_rphm(plan: TilePlan) -> Callable:
 
         # --- row max over (panel, local row) -----------------------------
         d_rowmax = jax.ops.segment_max(
-            d_masked.max(axis=2), d_panel, num_segments=P)
+            d_masked.max(axis=2), dplan.tile_panel, num_segments=P)
         g_rowmax = jax.ops.segment_max(
             g_masked.max(axis=2), dplan.g_panel, num_segments=P)
         r_rowmax = jax.ops.segment_max(
             r_masked, dplan.res_arow, num_segments=n_rows).reshape(P, ph)
         row_max = jnp.maximum(jnp.maximum(d_rowmax, g_rowmax), r_rowmax)
+        if Tp:
+            p_valid = dplan.sp_scatter < nnz
+            p_masked = jnp.where(p_valid, packed, _NEG)
+            p_rowmax = jax.ops.segment_max(
+                p_masked.max(axis=2), dplan.sp_panel, num_segments=P)
+            row_max = jnp.maximum(row_max, p_rowmax)
         row_max = jnp.maximum(row_max, _NEG / 2)    # empty rows stay finite
 
         # --- exp + row sum ------------------------------------------------
         d_exp = jnp.where(
-            d_valid, jnp.exp(dense - row_max[d_panel][:, :, None]),
+            d_valid, jnp.exp(dense - row_max[dplan.tile_panel][:, :, None]),
             0.0)
         g_exp = jnp.where(
             g_valid, jnp.exp(gathered - row_max[dplan.g_panel][:, :, None]),
@@ -88,14 +83,26 @@ def make_edge_softmax_rphm(plan: TilePlan) -> Callable:
             0.0)
 
         d_rowsum = jax.ops.segment_sum(
-            d_exp.sum(axis=2), d_panel, num_segments=P)
+            d_exp.sum(axis=2), dplan.tile_panel, num_segments=P)
         g_rowsum = jax.ops.segment_sum(
             g_exp.sum(axis=2), dplan.g_panel, num_segments=P)
         r_rowsum = jax.ops.segment_sum(
             r_exp, dplan.res_arow, num_segments=n_rows).reshape(P, ph)
-        denom = jnp.maximum(d_rowsum + g_rowsum + r_rowsum, 1e-20)
+        denom = d_rowsum + g_rowsum + r_rowsum
+        if Tp:
+            p_exp = jnp.where(
+                p_valid,
+                jnp.exp(packed - row_max[dplan.sp_panel][:, :, None]),
+                0.0)
+            denom = denom + jax.ops.segment_sum(
+                p_exp.sum(axis=2), dplan.sp_panel, num_segments=P)
+        else:
+            p_exp = packed
+        denom = jnp.maximum(denom, 1e-20)
 
-        return (d_exp / denom[d_panel][:, :, None],
+        return (d_exp / denom[dplan.tile_panel][:, :, None],
+                (p_exp / denom[dplan.sp_panel][:, :, None]
+                 if Tp else packed),
                 g_exp / denom[dplan.g_panel][:, :, None],
                 r_exp / denom.reshape(-1)[dplan.res_arow])
 
@@ -103,9 +110,9 @@ def make_edge_softmax_rphm(plan: TilePlan) -> Callable:
 
 
 def make_spmm_rphm(plan: TilePlan, precision: str = "high") -> Callable:
-    """Build ``fn(dense, gathered, res, V, dplan) -> (M, F)``:
-    ``out[r] = sum_e vals[e] * V[col[e]]`` with values in rphm layout and
-    the output in ORIGINAL row order.
+    """Build ``fn(dense, packed, gathered, res, V, dplan) -> (M, F)``:
+    ``out[r] = sum_e vals[e] * V[col[e]]`` with values in the four-tier
+    rphm layout and the output in ORIGINAL row order.
 
     Dense tier: per-tile (ph, bw) @ contiguous V block (MXU, zero gather)
     in bsr mode; in reorder mode (column-permuted plans, tile_cblock is
@@ -142,16 +149,14 @@ def make_spmm_rphm(plan: TilePlan, precision: str = "high") -> Callable:
 
     Tp = plan.sp_panel.shape[0] if plan.sp_panel is not None else 0
     sw = plan.subblock_width
-    n_sb = -(-N // sw) if sw else 0
 
-    def fn(dense: jax.Array, gathered: jax.Array, res: jax.Array,
-           V: jax.Array, dplan: DevicePlan) -> jax.Array:
+    def fn(dense: jax.Array, packed: jax.Array, gathered: jax.Array,
+           res: jax.Array, V: jax.Array, dplan: DevicePlan) -> jax.Array:
         F = V.shape[1]
-        d_panel, d_scatter = _dense_panel_scatter(plan, dplan)
         # zero trash/pad slots: their rphm values are whatever the padded
         # matmuls computed (edge_softmax_rphm zeroes them, but raw values
         # must be safe too)
-        dense = jnp.where(d_scatter < nnz, dense, 0.0)
+        dense = jnp.where(dplan.tile_scatter < nnz, dense, 0.0)
         gathered = jnp.where(dplan.g_scatter < nnz, gathered, 0.0)
         res = jnp.where(dplan.res_out < nnz, res, 0.0)
         Vp = jnp.pad(V.astype(jnp.float32),
@@ -165,19 +170,29 @@ def make_spmm_rphm(plan: TilePlan, precision: str = "high") -> Callable:
             # reorder mode: per-tile column gather from tile_cols
             vb = jnp.take(Vp, tile_cols.reshape(-1), axis=0) \
                 .reshape(-1, bw, F)
-        if Tp:
-            # packed sub-block tiles: V rows are S contiguous (sw, F)
-            # block slices, same layout as the SDDMM's B operand
-            V_sub = Vp[:n_sb * sw].reshape(n_sb, sw, F)
-            vb_pk = jnp.take(V_sub, dplan.sp_sub.reshape(-1), axis=0) \
-                .reshape(Tp, bw, F)
-            vb = jnp.concatenate([vb, vb_pk], axis=0)
         d_part = jax.lax.dot_general(
             dense, vb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             precision=prec,
-            preferred_element_type=jnp.float32)       # (T+Tp, ph, F)
-        out = jax.ops.segment_sum(d_part, d_panel,
+            preferred_element_type=jnp.float32)       # (T, ph, F)
+        out = jax.ops.segment_sum(d_part, dplan.tile_panel,
                                   num_segments=P)     # (P, ph, F)
+
+        if Tp:
+            # hot-column packed tiles: V2 = take(V, colperm), then S
+            # contiguous (sw, F) block slices — same layout as the
+            # SDDMM's Bt2 operand
+            packed = jnp.where(dplan.sp_scatter < nnz, packed, 0.0)
+            V2 = jnp.take(Vp, dplan.sp_colperm, axis=0)
+            V_sub = V2.reshape(-1, sw, F)
+            vb_pk = jnp.take(V_sub, dplan.sp_sub.reshape(-1), axis=0) \
+                .reshape(Tp, bw, F)
+            p_part = jax.lax.dot_general(
+                packed, vb_pk,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=prec,
+                preferred_element_type=jnp.float32)   # (Tp, ph, F)
+            out = out + jax.ops.segment_sum(p_part, dplan.sp_panel,
+                                            num_segments=P)
 
         # gathered tier: V rows gathered per tile column
         vg = jnp.take(Vp, dplan.g_cols.reshape(-1), axis=0) \
@@ -206,7 +221,7 @@ def make_spmm_rphm(plan: TilePlan, precision: str = "high") -> Callable:
 
 def make_spmm_transpose_rphm(plan: TilePlan,
                              precision: str = "high") -> Callable:
-    """Build ``fn(dense, gathered, res, A_full, dplan) -> (N, F)``:
+    """Build ``fn(dense, packed, gathered, res, A_full, dplan) -> (N, F)``:
     the column-side aggregation ``out[c] = sum_e vals[e] * A[row_e]`` —
     the transpose counterpart of :func:`make_spmm_rphm`, needed for the
     SDDMM backward pass (dB^T). Dense tier: per-tile (bw, ph) @ A panel on
@@ -227,14 +242,13 @@ def make_spmm_transpose_rphm(plan: TilePlan,
         np.minimum(plan.tile_cols, max(N - 1, 0)))
 
     Tp = plan.sp_panel.shape[0] if plan.sp_panel is not None else 0
-    T_bsr = plan.tile_scatter.shape[0]
     sw = plan.subblock_width
 
-    def fn(dense: jax.Array, gathered: jax.Array, res: jax.Array,
-           A_full: jax.Array, dplan: DevicePlan) -> jax.Array:
+    def fn(dense: jax.Array, packed: jax.Array, gathered: jax.Array,
+           res: jax.Array, A_full: jax.Array,
+           dplan: DevicePlan) -> jax.Array:
         F = A_full.shape[1]
-        d_panel, d_scatter = _dense_panel_scatter(plan, dplan)
-        dense = jnp.where(d_scatter < nnz, dense, 0.0)
+        dense = jnp.where(dplan.tile_scatter < nnz, dense, 0.0)
         gathered = jnp.where(dplan.g_scatter < nnz, gathered, 0.0)
         res = jnp.where(dplan.res_out < nnz, res, 0.0)
         A_perm = jnp.take(A_full, dplan.row_perm_padded, axis=0)
@@ -242,29 +256,36 @@ def make_spmm_transpose_rphm(plan: TilePlan,
 
         # dense tier: (T, bw, ph) @ (T, ph, F) -> (T, bw, F), summed per
         # column block (contiguous rows of the output)
-        a_t = jnp.take(A_panels, d_panel, axis=0)       # (T+Tp, ph, F)
+        a_t = jnp.take(A_panels, dplan.tile_panel, axis=0)  # (T, ph, F)
         d_part = jax.lax.dot_general(
             dense, a_t, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
             precision=prec,
-            preferred_element_type=jnp.float32)         # (T+Tp, bw, F)
-        d_bsr = d_part[:T_bsr] if Tp else d_part
+            preferred_element_type=jnp.float32)         # (T, bw, F)
         if bsr_mode:
             out_blocks = jax.ops.segment_sum(
-                d_bsr, tile_cblock, num_segments=n_cblocks)  # (C, bw, F)
+                d_part, tile_cblock, num_segments=n_cblocks)  # (C, bw, F)
             out = out_blocks.reshape(n_cblocks * bw, F)
         else:
             # reorder mode: the tile's columns are arbitrary — scatter-add
             # each tile column at its true id
             out = jax.ops.segment_sum(
-                d_bsr.reshape(-1, F), tile_cols.reshape(-1),
+                d_part.reshape(-1, F), tile_cols.reshape(-1),
                 num_segments=n_cblocks * bw)
         if Tp:
             # packed tiles: column j of tile t lands at global column
-            # sp_sub[t, j // sw] * sw + j % sw
-            pk_cols = (dplan.sp_sub[:, :, None] * sw
-                       + jnp.arange(sw, dtype=jnp.int32)).reshape(Tp, bw)
+            # colperm[sp_sub[t, j // sw] * sw + j % sw]
+            packed = jnp.where(dplan.sp_scatter < nnz, packed, 0.0)
+            a_p = jnp.take(A_panels, dplan.sp_panel, axis=0)
+            p_part = jax.lax.dot_general(
+                packed, a_p,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                precision=prec,
+                preferred_element_type=jnp.float32)     # (Tp, bw, F)
+            pk_pos = (dplan.sp_sub[:, :, None] * sw
+                      + jnp.arange(sw, dtype=jnp.int32)).reshape(Tp, bw)
+            pk_cols = jnp.take(dplan.sp_colperm, pk_pos.reshape(-1))
             out = out + jax.ops.segment_sum(
-                d_part[T_bsr:].reshape(-1, F), pk_cols.reshape(-1),
+                p_part.reshape(-1, F), pk_cols,
                 num_segments=n_cblocks * bw)
 
         # gathered tier: scatter-add per tile column
@@ -309,9 +330,9 @@ def make_diff_sddmm_body(plan: TilePlan, body: Callable,
 
     def bwd(residuals, cotangents):
         A, Bt, dplan = residuals
-        d_dense, d_gath, d_res = cotangents
-        dA = spmm(d_dense, d_gath, d_res, Bt, dplan)
-        dBt = spmm_t(d_dense, d_gath, d_res, A, dplan)
+        d_dense, d_pk, d_gath, d_res = cotangents
+        dA = spmm(d_dense, d_pk, d_gath, d_res, Bt, dplan)
+        dBt = spmm_t(d_dense, d_pk, d_gath, d_res, A, dplan)
         zero = jax.tree.map(
             lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0), dplan)
         return dA, dBt, zero
@@ -334,8 +355,9 @@ def make_sparse_attention_rphm(plan: TilePlan, body: Callable,
 
     def fn(q: jax.Array, kk: jax.Array, v: jax.Array,
            dplan: DevicePlan) -> jax.Array:
-        d, g, r = diff_body(q, kk, dplan)
-        d, g, r = softmax(d * inv_sqrt, g * inv_sqrt, r * inv_sqrt, dplan)
-        return spmm(d, g, r, v, dplan)
+        d, p, g, r = diff_body(q, kk, dplan)
+        d, p, g, r = softmax(d * inv_sqrt, p * inv_sqrt, g * inv_sqrt,
+                             r * inv_sqrt, dplan)
+        return spmm(d, p, g, r, v, dplan)
 
     return fn

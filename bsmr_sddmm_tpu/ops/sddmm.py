@@ -54,8 +54,9 @@ class DevicePlan(NamedTuple):
     tile_src: jax.Array          # (T,) cblock ids | (T, bw) col ids
     tile_scatter: jax.Array      # (T, ph, bw) int32
     sp_panel: jax.Array          # (Tp,) int32  (packed sub-block tier)
-    sp_sub: jax.Array            # (Tp, S) int32 sub-block ids
+    sp_sub: jax.Array            # (Tp, S) int32 sub-block ids into Bt2
     sp_scatter: jax.Array        # (Tp, ph, bw) int32
+    sp_colperm: jax.Array        # (H,) int32; Bt2 = take(Bt, sp_colperm)
     g_panel: jax.Array           # (Tg,) int32
     g_cols: jax.Array            # (Tg, bw) int32
     g_scatter: jax.Array         # (Tg, ph, bw) int32
@@ -85,6 +86,9 @@ def device_plan(plan: TilePlan) -> DevicePlan:
             plan.sp_scatter if plan.sp_scatter is not None
             else np.zeros((0, plan.panel_height, plan.block_width),
                           np.int32)),
+        sp_colperm=jnp.asarray(
+            plan.sp_colperm if plan.sp_colperm is not None
+            else np.zeros(0, np.int32)),
         g_panel=jnp.asarray(plan.g_panel),
         g_cols=jnp.asarray(plan.g_cols),
         g_scatter=jnp.asarray(plan.g_scatter),
@@ -110,9 +114,9 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
       (the reference contract: matrixP in CSR value order,
       sddmmKernel.cu:332-350), emitted as ONE gather along the
       precomputed ``rphm_to_csr`` map.
-    * ``emit="rphm"``: ``(dense_out (T, ph, bw), gathered_out
-      (Tg, ph, bw), res_vals (E,))`` — the values in the plan's own
-      three-tier layout, no per-element reorder anywhere;
+    * ``emit="rphm"``: ``(dense_out (T, ph, bw), packed_out (Tp, ph, bw),
+      gathered_out (Tg, ph, bw), res_vals (E,))`` — the values in the
+      plan's own four-tier layout, no per-element reorder anywhere;
       ``TilePlan.rphm_to_csr`` is the static bijection back to CSR order.
     * ``emit="csr_scatter"``: like "csr" but via per-slot scatter with a
       trailing trash slot — slower, but non-owned slots become zeros,
@@ -274,46 +278,47 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
             out = out.reshape(T, ph, bw)
         return out
 
-    # --- packed sub-block tier --------------------------------------------
+    # --- hot-column packed tier -------------------------------------------
     Tp = plan.sp_panel.shape[0] if plan.sp_panel is not None else 0
     sw = plan.subblock_width
     S = plan.sp_sub.shape[1] if (Tp and plan.sp_sub is not None) else 0
-    n_sb = -(-plan.cols // sw) if sw else 0
+    H_cp = (plan.sp_colperm.shape[0]
+            if (Tp and plan.sp_colperm is not None) else 0)
+    n_sb = H_cp // sw if sw else 0
     if backend == "pallas" and Tp:
         from bsmr_sddmm_tpu.ops.pallas_dense import make_subpack_kernel
         subpack_kernel = make_subpack_kernel(
-            num_panels=num_panels, ph=ph, bw=bw, k=k, n_cols=plan.cols,
+            num_panels=num_panels, ph=ph, bw=bw, k=k, n_cols=H_cp,
             sw=sw, precision=config.matmul_precision,
             interpret=interpret)
     else:
         subpack_kernel = None
 
     def packed_out_fn(A_panels, Bt, dplan):
-        """Compute all sub-block packed tiles -> (Tp, ph, bw).
+        """Compute all hot-column packed tiles -> (Tp, ph, bw).
 
-        The B operand of tile t is S contiguous (sw, K) slices of Bt —
-        block DMAs at near-stream bandwidth, not 512-byte row-gather
-        descriptors (the whole point of the tier: ~S-fold tile fill at
-        roughly the dense tier's per-tile byte cost)."""
+        Bt2 = take(Bt, colperm) is ONE full-bandwidth gather per call
+        (hot residual columns made contiguous); each tile's B operand is
+        then S contiguous (sw, K) slices of Bt2 — block DMAs instead of
+        the gathered tier's 512-byte row-gather descriptors."""
         if Tp == 0:
             return jnp.zeros((0, ph, bw), jnp.float32)
+        Bt2 = jnp.take(Bt, dplan.sp_colperm, axis=0)    # (H, K)
         if backend == "pallas":
             if Tp * ph * bw * 4 <= max(budget_bytes, 1 << 28):
-                return subpack_kernel(A_panels, Bt, dplan.sp_panel,
+                return subpack_kernel(A_panels, Bt2, dplan.sp_panel,
                                       dplan.sp_sub)
             pchunk = _chunk_of(Tp, max(dense_chunk, 4096))
             parts = []
             for s in range(0, Tp, pchunk):
                 e = min(s + pchunk, Tp)
                 parts.append(subpack_kernel(
-                    A_panels, Bt,
+                    A_panels, Bt2,
                     jax.lax.slice_in_dim(dplan.sp_panel, s, e),
                     jax.lax.slice_in_dim(dplan.sp_sub, s, e)))
             return jnp.concatenate(parts, axis=0)
         # XLA path: block-gather the sub-blocks, one batched matmul
-        npad = n_sb * sw - plan.cols
-        Btp = jnp.pad(Bt, ((0, npad), (0, 0))) if npad else Bt
-        B_sub = Btp.reshape(n_sb, sw, k)
+        B_sub = Bt2.reshape(n_sb, sw, k)
 
         def tiles_matmul(pc, sc):
             n_t = pc.shape[0]
@@ -460,30 +465,30 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         if only_tier == "residual":
             return res_vals_fn(A_perm, Bt, dplan)
         dense_out = dense_out_fn(A_panels, Bt, dplan)
-        if Tp:
-            # the packed sub-block tier rides the dense tier's layout:
-            # emit "dense" = (T + Tp, ph, bw), scatter maps already
-            # account for the offset (pack.py inverse map)
-            dense_out = jnp.concatenate(
-                [dense_out, packed_out_fn(A_panels, Bt, dplan)], axis=0)
+        packed_out = packed_out_fn(A_panels, Bt, dplan)
         gathered_out = gathered_out_fn(A_panels, Bt, dplan)
         res_vals = res_vals_fn(A_perm, Bt, dplan)
         if emit == "rphm":
-            return dense_out, gathered_out, res_vals
+            # four tiers, four arrays — NEVER concatenated (gluing the
+            # packed tier onto the dense output would copy the whole
+            # dense tier through HBM: measured +0.3 ms on an 88 MB
+            # output, more than the packed tier's own compute)
+            return dense_out, packed_out, gathered_out, res_vals
         if emit == "csr":
             # one gather along the precomputed inverse map — no scatter
             big = jnp.concatenate([dense_out.reshape(-1),
+                                   packed_out.reshape(-1),
                                    gathered_out.reshape(-1), res_vals])
             return jnp.take(big, dplan.rphm_to_csr)
         # "csr_scatter": scatter every (padded) slot; slow, but each
         # non-owned slot lands in the trash element, which is what the
         # shard_map path needs (per-shard partials psum to the total)
         P = jnp.zeros(nnz + 1, dtype=jnp.float32)
-        scatter_map = (jnp.concatenate([dplan.tile_scatter.reshape(-1),
-                                        dplan.sp_scatter.reshape(-1)])
-                       if Tp else dplan.tile_scatter.reshape(-1))
-        P = P.at[scatter_map].set(
+        P = P.at[dplan.tile_scatter.reshape(-1)].set(
             dense_out.reshape(-1), mode="drop", unique_indices=False)
+        if Tp:
+            P = P.at[dplan.sp_scatter.reshape(-1)].set(
+                packed_out.reshape(-1), mode="drop", unique_indices=False)
         P = P.at[dplan.g_scatter.reshape(-1)].set(
             gathered_out.reshape(-1), mode="drop", unique_indices=False)
         P = P.at[dplan.res_out].set(res_vals, mode="drop",

@@ -84,8 +84,11 @@ class TilePlan:
     # the dense tier: emit layout dense = (T + Tp, ph, bw).
     num_packed: int = 0            # Tp0
     sp_panel: np.ndarray = None    # (Tp,) int32, panel id (pad: 0)
-    sp_sub: np.ndarray = None      # (Tp, S) int32 sub-block ids
+    sp_sub: np.ndarray = None      # (Tp, S) int32 sub-block ids into Bt2
     sp_scatter: np.ndarray = None  # (Tp, ph, bw) int32 into [0, nnz]
+    sp_colperm: np.ndarray = None  # (H,) int32 hot-column permutation:
+    #                                Bt2 = take(Bt, sp_colperm), packed
+    #                                tiles read (sw, K) slices of Bt2
     subblock_width: int = 0        # sw (0 = tier absent)
 
     # gathered tiles (Tg after bucket padding, Tg0 real): residual columns
@@ -168,18 +171,18 @@ class TilePlan:
         return (self.dense_nnz + self.packed_nnz) / slots
 
     def csr_values_from_rphm(self, dense_out: np.ndarray,
+                             packed_out: np.ndarray,
                              gathered_out: np.ndarray,
                              res_vals: np.ndarray) -> np.ndarray:
-        """Host-side assembly of CSR-order values from the rphm-layout
-        outputs (the static bijection recorded in tile_scatter/sp_scatter/
-        g_scatter/res_out). ``dense_out`` is the executed dense tier
-        (T + Tp, ph, bw): BSR tiles then packed sub-block tiles."""
+        """Host-side assembly of CSR-order values from the four-tier
+        rphm-layout outputs (the static bijection recorded in
+        tile_scatter/sp_scatter/g_scatter/res_out)."""
         P = np.empty(self.nnz + 1, dtype=np.float32)
-        dense_out = np.asarray(dense_out)
-        T = self.tile_scatter.shape[0]
-        P[self.tile_scatter.reshape(-1)] = dense_out[:T].reshape(-1)
+        P[self.tile_scatter.reshape(-1)] = \
+            np.asarray(dense_out).reshape(-1)
         if self.sp_scatter is not None and self.sp_scatter.size:
-            P[self.sp_scatter.reshape(-1)] = dense_out[T:].reshape(-1)
+            P[self.sp_scatter.reshape(-1)] = \
+                np.asarray(packed_out).reshape(-1)
         if self.g_scatter is not None and self.g_scatter.size:
             P[self.g_scatter.reshape(-1)] = \
                 np.asarray(gathered_out).reshape(-1)
@@ -286,23 +289,59 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     r_arow = pos_in_perm[res_mask]
     r_csr = entry_idx[res_mask]
 
-    # --- sub-block packed tier (the tile-fill lever) ----------------------
-    # Qualifying sw-wide aligned (panel, sub-block) groups among the
-    # residual entries pack S = bw/sw per 128-lane tile; B arrives as S
-    # contiguous (sw, K) block DMAs. Sub-blocks sort by id within a panel,
-    # so a tile's B slices are address-local. The reference's analogue is
-    # its 16-wide gathered dense columns (colReordering.cu:244-271 +
-    # sddmmKernel.cu:294-307) — same trick at MXU scale, with alignment
-    # traded for contiguous DMAs.
+    # --- hot-column packed tier (the tile-fill lever) ---------------------
+    # Residual columns are PERMUTED — ordered by (dominant panel, count
+    # desc), so columns hot in the same row panels become adjacent — and
+    # sw-wide sub-blocks of the permuted space with >= subpack_min_nnz
+    # in-panel entries pack S = bw/sw per 128-lane tile. Execution
+    # materializes Bt2 = take(Bt, colperm) ONCE per call (a single
+    # full-bandwidth gather), after which every packed tile's B operand
+    # is S contiguous (sw, K) block DMAs of Bt2 — the per-tile row-
+    # descriptor storm of the gathered tier becomes one amortized
+    # gather. This is the reference's count-descending colReordering
+    # (colReordering.cu:274-404 + the 16-wide gathered dense columns at
+    # 244-271) re-created for the TPU cost model.
     sw = config.subblock_width
     S = (bw // sw) if sw else 0
     num_packed0 = 0
     sp_panel = np.zeros(0, np.int32)
     sp_sub = np.zeros((0, max(S, 1)), np.int32)
     sp_scatter = np.zeros((0, ph, bw), np.int32)
+    sp_colperm = np.zeros(0, np.int32)
     if config.subpack_min_nnz and S and r_panel.shape[0]:
-        n_sb = -(-N // sw)
-        ent_key = r_panel * np.int64(n_sb) + r_col // sw
+        # unique (panel, col) pairs with counts
+        pc_key = r_panel * sent + r_col
+        pc_order = np.argsort(pc_key, kind="stable")
+        pcs = pc_key[pc_order]
+        pc_pos = np.nonzero(np.diff(pcs, prepend=-1))[0]
+        u_key = pcs[pc_pos]
+        u_cnt = np.diff(np.append(pc_pos, pcs.shape[0]))
+        u_panel = u_key // sent
+        u_col = u_key % sent
+        # per column: total count + dominant panel (panel with max count)
+        col_order = np.lexsort((-u_cnt, u_col))
+        c_panel = u_panel[col_order]
+        c_col = u_col[col_order]
+        c_cnt = u_cnt[col_order]
+        cstarts = np.nonzero(np.diff(c_col, prepend=-1))[0]
+        ucols = c_col[cstarts]                 # unique cols, ascending
+        dom_panel = c_panel[cstarts]           # first in group = max count
+        tot = np.add.reduceat(c_cnt, cstarts)
+        # permuted order: (dominant panel, count desc, col)
+        perm_order = np.lexsort((ucols, -tot, dom_panel))
+        H0 = ucols.shape[0]
+        H = -(-H0 // sw) * sw
+        sp_colperm = np.zeros(H, np.int32)
+        sp_colperm[:H0] = np.minimum(ucols[perm_order],
+                                     N - 1).astype(np.int32)
+        sp_colperm[H0:] = sp_colperm[max(H0 - 1, 0)]   # pad: repeat last
+        # permuted position of each entry's column
+        pos_of_ucol = np.empty(H0, np.int64)
+        pos_of_ucol[perm_order] = np.arange(H0)
+        e_pos = pos_of_ucol[np.searchsorted(ucols, r_col)]
+        # (panel, permuted sub-block) membership
+        n_sb = H // sw
+        ent_key = r_panel * np.int64(n_sb) + e_pos // sw
         sp_order = np.argsort(ent_key, kind="stable")
         ks = ent_key[sp_order]
         uq_pos = np.nonzero(np.diff(ks, prepend=-1))[0]
@@ -348,7 +387,7 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
             sp_scatter = np.full((Tp, ph, bw), nnz, np.int32)
             pe = in_packed_s
             sp_scatter[tile_of_uq[ent_uq[pe]], r_lrow[pe],
-                       slot_of_uq[ent_uq[pe]] * sw + r_col[pe] % sw] = \
+                       slot_of_uq[ent_uq[pe]] * sw + e_pos[pe] % sw] = \
                 r_csr[pe].astype(np.int32)
             # remaining residual entries flow to the gathered/per-nnz
             # tiers below
@@ -356,6 +395,15 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
             r_panel, r_col, r_lrow, r_arow, r_csr = (
                 r_panel[keep], r_col[keep], r_lrow[keep],
                 r_arow[keep], r_csr[keep])
+        if num_packed0 == 0:
+            sp_colperm = np.zeros(0, np.int32)
+        else:
+            # trim the permutation to the sub-blocks actually referenced
+            # (the per-call Bt2 gather costs ~3 ns/row; dropping cold
+            # tail columns is free)
+            max_sb = int(sp_sub.max()) + 1
+            if max_sb * sw < H:
+                sp_colperm = sp_colperm[:max_sb * sw]
 
     num_gathered0 = 0
     g_panel = np.zeros(0, np.int32)
@@ -648,6 +696,7 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         tile_scatter=tile_scatter,
         num_packed=num_packed0,
         sp_panel=sp_panel, sp_sub=sp_sub, sp_scatter=sp_scatter,
+        sp_colperm=sp_colperm,
         subblock_width=sw if num_packed0 or (config.subpack_min_nnz and S)
         else 0,
         num_gathered=num_gathered0,
@@ -667,9 +716,10 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
 
 
 def _pad_plan_to(plan: TilePlan, T: int, Tp: int, Tg: int, E: int,
-                 num_panels: int) -> TilePlan:
+                 num_panels: int, H_cp: int = 0) -> TilePlan:
     """Pad a shard's TilePlan out to common shapes (extra tiles/entries
-    land in the trash slot; extra panels read row 0 of A, never emitted)."""
+    land in the trash slot; extra panels read row 0 of A, never emitted;
+    extra colperm rows gather column 0, referenced only by pad tiles)."""
     ph, bw, nnz = plan.panel_height, plan.block_width, plan.nnz
     G = plan.fat_group
 
@@ -698,6 +748,7 @@ def _pad_plan_to(plan: TilePlan, T: int, Tp: int, Tg: int, E: int,
         sp_panel=pad(plan.sp_panel, Tp, 0),
         sp_sub=pad(plan.sp_sub, Tp, 0),
         sp_scatter=pad(plan.sp_scatter, Tp, nnz),
+        sp_colperm=pad(plan.sp_colperm, H_cp, 0),
         g_panel=pad(plan.g_panel, Tg, 0),
         g_cols=pad(plan.g_cols, Tg, max(plan.cols - 1, 0)),
         g_scatter=pad(plan.g_scatter, Tg, nnz),
@@ -806,4 +857,5 @@ def pack_shard_plans(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     Tg = max(p.g_panel.shape[0] for p in shard_plans)
     E = max(p.res_arow.shape[0] for p in shard_plans)
     NP = max(max(p.num_panels for p in shard_plans), 1)
-    return [_pad_plan_to(p, T, Tp, Tg, E, NP) for p in shard_plans]
+    H_cp = max(p.sp_colperm.shape[0] for p in shard_plans)
+    return [_pad_plan_to(p, T, Tp, Tg, E, NP, H_cp) for p in shard_plans]

@@ -99,6 +99,7 @@ def shard_device_plan(plan: TilePlan, mesh: Mesh) -> DevicePlan:
         sp_sub=put(_pad_leading(plan.sp_sub, n, 0), sharded),
         sp_scatter=put(_pad_leading(plan.sp_scatter, n, plan.nnz),
                        sharded),
+        sp_colperm=put(plan.sp_colperm, repl),
         g_panel=put(_pad_leading(plan.g_panel, n, 0), sharded),
         g_cols=put(_pad_leading(plan.g_cols, n,
                                 max(plan.cols - 1, 0)), sharded),
@@ -154,6 +155,7 @@ def _stack_shard_dplans(plans, mesh: Mesh) -> DevicePlan:
         sp_panel=stack("sp_panel"),
         sp_sub=stack("sp_sub"),
         sp_scatter=stack("sp_scatter"),
+        sp_colperm=stack("sp_colperm"),
         g_panel=stack("g_panel"),
         g_cols=stack("g_cols"),
         g_scatter=stack("g_scatter"),
@@ -176,19 +178,20 @@ def sharded_rphm_to_csr(plans) -> np.ndarray:
     Tp = plans[0].sp_panel.shape[0]
     Tg = plans[0].g_panel.shape[0]
     E = plans[0].res_arow.shape[0]
-    # per-shard executed dense layout = [T BSR tiles | Tp packed tiles]
-    d_stride = (T + Tp) * ph * bw
-    base_g = n * d_stride
+    # stacked four-tier layout: [dense_all | packed_all | gathered_all |
+    # res_all], each tier stacked shard-major
+    base_p = n * T * ph * bw
+    base_g = base_p + n * Tp * ph * bw
     base_r = base_g + n * Tg * ph * bw
     assert base_r + n * E < np.iinfo(np.int32).max
     out = np.zeros(nnz, np.int64)
     for s, p in enumerate(plans):
         ts = p.tile_scatter.reshape(-1)
         m = ts < nnz
-        out[ts[m]] = np.nonzero(m)[0] + s * d_stride
+        out[ts[m]] = np.nonzero(m)[0] + s * T * ph * bw
         sp = p.sp_scatter.reshape(-1)
         m = sp < nnz
-        out[sp[m]] = np.nonzero(m)[0] + s * d_stride + T * ph * bw
+        out[sp[m]] = np.nonzero(m)[0] + base_p + s * Tp * ph * bw
         gs = p.g_scatter.reshape(-1)
         m = gs < nnz
         out[gs[m]] = np.nonzero(m)[0] + base_g + s * Tg * ph * bw
@@ -239,12 +242,12 @@ def make_sharded_sddmm(csr: CSR, reord: BsmrReordering,
                              tile_panel=P(AXIS), tile_src=P(AXIS),
                              tile_scatter=P(AXIS),
                              sp_panel=P(AXIS), sp_sub=P(AXIS),
-                             sp_scatter=P(AXIS),
+                             sp_scatter=P(AXIS), sp_colperm=P(AXIS),
                              g_panel=P(AXIS), g_cols=P(AXIS),
                              g_scatter=P(AXIS),
                              res_arow=P(AXIS), res_col=P(AXIS),
                              res_out=P(AXIS), rphm_to_csr=P())),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
     )
 
     if emit == "rphm":
@@ -255,8 +258,9 @@ def make_sharded_sddmm(csr: CSR, reord: BsmrReordering,
     csr_map = jnp.asarray(sharded_rphm_to_csr(plans))
 
     def fn(A, Bt, dplan):
-        d, g, r = mapped(A, Bt, dplan)
-        big = jnp.concatenate([d.reshape(-1), g.reshape(-1), r])
+        d, p, g, r = mapped(A, Bt, dplan)
+        big = jnp.concatenate([d.reshape(-1), p.reshape(-1),
+                               g.reshape(-1), r])
         return jnp.take(big, csr_map)
 
     return jax.jit(fn), dplan, plans

@@ -114,6 +114,8 @@ class BsmrSddmm:
                plan.k, plan.nnz, plan.mode, emit,
                backend or self.config.backend,
                plan.sp_panel.shape if plan.sp_panel is not None else None,
+               plan.sp_colperm.shape
+               if plan.sp_colperm is not None else None,
                plan.num_packed, plan.subblock_width,
                plan.fat_group, plan.window_rows, plan.a_window_rows,
                plan.num_gathered, plan.num_residual,

@@ -209,13 +209,17 @@ def time_rphm_inprogram(body: Callable, A, Bt, dplan,
     def make_rep(reps: int):
         def fn(A, Bt, dplan):
             def step(_, c):
-                d, g, r = body(A * (1.0 + c), Bt, dplan)
-                # first AND last element: the dense output may be a
-                # concat of two opaque pallas_calls (BSR tier + packed
-                # sub-block tier); touching both ends keeps both alive
-                probe = (d.ravel()[0] + d.ravel()[-1] if dense_opaque
+                d, p, g, r = body(A * (1.0 + c), Bt, dplan)
+                # opaque pallas outputs (dense + packed tiers on the
+                # pallas backend): one element keeps the whole call
+                # alive; XLA tiers take full sums (a sliced dot can be
+                # legally narrowed)
+                probe = (d.ravel()[0] if dense_opaque
                          else jnp.sum(d) * 1e-30)
-                s = probe * 1e-30 + jnp.sum(g) * 1e-30 + jnp.sum(r)
+                pprobe = ((p.ravel()[0] if p.size else 0.0)
+                          if dense_opaque else jnp.sum(p) * 1e-30)
+                s = (probe * 1e-30 + pprobe * 1e-30
+                     + jnp.sum(g) * 1e-30 + jnp.sum(r))
                 return s * 1e-37
             return jax.lax.fori_loop(0, reps, step,
                                      jnp.float32(0.0))

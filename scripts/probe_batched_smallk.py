@@ -71,7 +71,7 @@ def main() -> int:
                         bat = jax.vmap(body, in_axes=(0, 0, None))
 
                     def probe_body(a, b, d):
-                        dd, g, r = bat(a, b, d)
+                        dd, pp, g, r = bat(a, b, d)
                         # pallas path: lax.map (scan) runs every step;
                         # first+last elements keep the opaque calls live.
                         # XLA path: full sums (partial consumption of a
@@ -79,8 +79,9 @@ def main() -> int:
                         dprobe = (dd.ravel()[0] + dd.ravel()[-1]
                                   if resolved == "pallas"
                                   else jnp.sum(dd) * 1e-30)
-                        return (dprobe + jnp.sum(g) * 1e-30
-                                + jnp.sum(r))
+                        pprobe = (pp.ravel()[0] if pp.size else 0.0)
+                        return (dprobe + pprobe * 1e-30
+                                + jnp.sum(g) * 1e-30 + jnp.sum(r))
 
                     ms = time_tier_inprogram(
                         lambda a, b, d: probe_body(a, b, d),

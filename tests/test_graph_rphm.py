@@ -30,9 +30,9 @@ def _setup(delta=0.05, rows=512, cols=768, nnz=20000, seed=7,
     return csr, cfg, plan
 
 
-def _csr_from_rphm(plan, d, g, r):
-    return plan.csr_values_from_rphm(np.asarray(d), np.asarray(g),
-                                     np.asarray(r))
+def _csr_from_rphm(plan, d, pk, g, r):
+    return plan.csr_values_from_rphm(np.asarray(d), np.asarray(pk),
+                                     np.asarray(g), np.asarray(r))
 
 
 @pytest.mark.parametrize("delta", [0.006, 0.05, 1.1])
@@ -42,13 +42,13 @@ def test_edge_softmax_rphm_matches_csr(delta):
     A, B = make_ab(csr, cfg.k)
     Bt = np.ascontiguousarray(B.T)
     body = make_sddmm_body(plan, cfg, emit="rphm")
-    d, g, r = jax.jit(body)(jnp.asarray(A), jnp.asarray(Bt), dplan)
+    d, pk, g, r = jax.jit(body)(jnp.asarray(A), jnp.asarray(Bt), dplan)
 
     softmax = make_edge_softmax_rphm(plan)
-    da, ga, ra = jax.jit(softmax)(d, g, r, dplan)
-    got = _csr_from_rphm(plan, da, ga, ra)
+    da, pa, ga, ra = jax.jit(softmax)(d, pk, g, r, dplan)
+    got = _csr_from_rphm(plan, da, pa, ga, ra)
 
-    scores = _csr_from_rphm(plan, d, g, r)
+    scores = _csr_from_rphm(plan, d, pk, g, r)
     seg = jnp.asarray(csr_segment_ids(csr))
     want = np.asarray(edge_softmax(jnp.asarray(scores), seg, csr.rows))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
@@ -61,13 +61,14 @@ def test_spmm_rphm_matches_csr(delta):
     A, B = make_ab(csr, cfg.k)
     Bt = np.ascontiguousarray(B.T)
     body = make_sddmm_body(plan, cfg, emit="rphm")
-    d, g, r = jax.jit(body)(jnp.asarray(A), jnp.asarray(Bt), dplan)
-    vals = _csr_from_rphm(plan, d, g, r)
+    d, pk, g, r = jax.jit(body)(jnp.asarray(A), jnp.asarray(Bt), dplan)
+    vals = _csr_from_rphm(plan, d, pk, g, r)
 
     F = 24
     V = make_dense(csr.cols, F, seed=99)
     spmm_fn = make_spmm_rphm(plan)
-    got = np.asarray(jax.jit(spmm_fn)(d, g, r, jnp.asarray(V), dplan))
+    got = np.asarray(jax.jit(spmm_fn)(d, pk, g, r, jnp.asarray(V),
+                                      dplan))
 
     seg = jnp.asarray(csr_segment_ids(csr))
     col = jnp.asarray(csr.col_indices.astype(np.int32))
@@ -106,10 +107,12 @@ def test_spmm_rphm_empty_rows():
     dplan = device_plan(plan)
     A, B = make_ab(csr, cfg.k)
     body = make_sddmm_body(plan, cfg, emit="rphm")
-    d, g, r = jax.jit(body)(jnp.asarray(A),
-                            jnp.asarray(np.ascontiguousarray(B.T)), dplan)
+    d, pk, g, r = jax.jit(body)(jnp.asarray(A),
+                                jnp.asarray(np.ascontiguousarray(B.T)),
+                                dplan)
     V = make_dense(csr.cols, 8, seed=1)
-    out = np.asarray(make_spmm_rphm(plan)(d, g, r, jnp.asarray(V), dplan))
+    out = np.asarray(make_spmm_rphm(plan)(d, pk, g, r, jnp.asarray(V),
+                                          dplan))
     np.testing.assert_array_equal(out[empty], 0.0)
 
 
@@ -128,21 +131,23 @@ def test_diff_sddmm_gradients_match_xla():
          for x in jax.eval_shape(lambda a, b: body(a, b, dplan), A, Bt)]
 
     def loss_custom(a, b):
-        d, g, r = diff_body(a, b, dplan)
-        return jnp.vdot(d, w[0]) + jnp.vdot(g, w[1]) + jnp.vdot(r, w[2])
+        d, pk, g, r = diff_body(a, b, dplan)
+        return (jnp.vdot(d, w[0]) + jnp.vdot(pk, w[1])
+                + jnp.vdot(g, w[2]) + jnp.vdot(r, w[3]))
 
     def loss_plain(a, b):
-        from bsmr_sddmm_tpu.ops.graph_rphm import _dense_panel_scatter
-        d, g, r = body(a, b, dplan)
+        d, pk, g, r = body(a, b, dplan)
         nnz = plan.nnz
-        _, d_scatter = _dense_panel_scatter(plan, dplan)
-        d = jnp.where(d_scatter < nnz, d, 0.0)
+        d = jnp.where(dplan.tile_scatter < nnz, d, 0.0)
+        pk = jnp.where(dplan.sp_scatter < nnz, pk, 0.0)
         g = jnp.where(dplan.g_scatter < nnz, g, 0.0)
         r = jnp.where(dplan.res_out < nnz, r, 0.0)
-        wd = jnp.where(d_scatter < nnz, w[0], 0.0)
-        wg = jnp.where(dplan.g_scatter < nnz, w[1], 0.0)
-        wr = jnp.where(dplan.res_out < nnz, w[2], 0.0)
-        return jnp.vdot(d, wd) + jnp.vdot(g, wg) + jnp.vdot(r, wr)
+        wd = jnp.where(dplan.tile_scatter < nnz, w[0], 0.0)
+        wp = jnp.where(dplan.sp_scatter < nnz, w[1], 0.0)
+        wg = jnp.where(dplan.g_scatter < nnz, w[2], 0.0)
+        wr = jnp.where(dplan.res_out < nnz, w[3], 0.0)
+        return (jnp.vdot(d, wd) + jnp.vdot(pk, wp) + jnp.vdot(g, wg)
+                + jnp.vdot(r, wr))
 
     gA, gB = jax.grad(loss_custom, argnums=(0, 1))(A, Bt)
     gA0, gB0 = jax.grad(loss_plain, argnums=(0, 1))(A, Bt)
@@ -179,12 +184,12 @@ def test_spmm_transpose_rphm_reorder_mode_matches_scipy():
     assert plan.tile_cblock is None and plan.num_tiles > 0
     rng = np.random.default_rng(17)
     vals = rng.normal(size=csr.nnz).astype(np.float32)
-    d, g, r = pack_values_rphm(plan, vals)
+    d, pk, g, r = pack_values_rphm(plan, vals)
     A = make_dense(csr.rows, 16, seed=23)
     dplan = device_plan(plan)
     fn = jax.jit(make_spmm_transpose_rphm(plan))
-    got = np.asarray(fn(jnp.asarray(d), jnp.asarray(g), jnp.asarray(r),
-                        jnp.asarray(A), dplan))
+    got = np.asarray(fn(jnp.asarray(d), jnp.asarray(pk), jnp.asarray(g),
+                        jnp.asarray(r), jnp.asarray(A), dplan))
     S = sp.csr_matrix((vals, csr.col_indices, csr.row_offsets),
                       shape=(csr.rows, csr.cols))
     np.testing.assert_allclose(got, S.T @ A, rtol=2e-4, atol=2e-4)

@@ -261,13 +261,22 @@ def test_weak_scaling_real_sddmm():
         make_mesh, make_sharded_sddmm, shard_operands)
     from bsmr_sddmm_tpu.reorder import bsmr as bsmr_reorder
 
+    from bsmr_sddmm_tpu.formats import COO
+
     cfg = SddmmConfig(k=32, panel_height=16, dense_chunk=16,
                       residual_chunk=2048)
-    rows_per, nnz_per, cols = 256, 4000, 512
+    rows_per, cols = 256, 512
+    # per-device work EXACTLY constant: n vertically-stacked copies of
+    # the same banded piece (same columns), one copy per shard
+    piece = _crop_cols(banded(rows_per, 4000, 64, seed=7), cols)
+    p_rows, p_cols = piece.coo_rows(), piece.col_indices
     shard_shapes = {}
     for n in (1, 2, 4):
-        csr = _crop_cols(banded(n * rows_per, n * nnz_per, 64, seed=7),
-                         cols)
+        rr = np.concatenate([p_rows + i * rows_per for i in range(n)])
+        cc = np.tile(p_cols, n)
+        csr = COO(n * rows_per, cols, rr.astype(np.int32),
+                  cc.astype(np.int32),
+                  np.ones(rr.size, np.float32)).to_csr()
         mesh = make_mesh(n)
         reord = bsmr_reorder(csr, cfg)
         fn, dplan, plans = make_sharded_sddmm(csr, reord, cfg, mesh,
@@ -289,7 +298,7 @@ def test_weak_scaling_real_sddmm():
                      "reduce_scatter"):
             assert coll not in jaxpr, f"{coll} in replicated-B hot path"
         # run it: outputs must be finite (compiles + executes per-shard)
-        d, g, r = fn(A_dev, Bt_dev, dplan)
+        d, pk, g, r = fn(A_dev, Bt_dev, dplan)
         assert np.isfinite(np.asarray(d)).all()
     base = shard_shapes[1]
     for n in (2, 4):

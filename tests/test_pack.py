@@ -62,8 +62,8 @@ def _check_residual_consistency(csr, reord, plan):
 
 def _check_packed_consistency(csr, reord, plan):
     """sp_scatter[t,i,j] = idx implies the original entry (row, col) is
-    (row_perm[sp_panel[t]*ph+i], sp_sub[t, j//sw]*sw + j%sw); every
-    qualifying sub-block covers >= subpack_min_nnz entries."""
+    (row_perm[sp_panel[t]*ph+i], colperm[sp_sub[t, j//sw]*sw + j%sw]);
+    every qualifying sub-block covers >= subpack_min_nnz entries."""
     if plan.sp_scatter is None or not plan.sp_scatter.size:
         return
     ph = plan.panel_height
@@ -74,9 +74,10 @@ def _check_packed_consistency(csr, reord, plan):
     idx = plan.sp_scatter[t_idx, i_idx, j_idx]
     perm_pos = plan.sp_panel[t_idx].astype(np.int64) * ph + i_idx
     np.testing.assert_array_equal(coo_rows[idx], reord.row_perm[perm_pos])
-    expected_cols = (plan.sp_sub[t_idx, j_idx // sw].astype(np.int64) * sw
-                     + j_idx % sw)
-    np.testing.assert_array_equal(csr.col_indices[idx], expected_cols)
+    pos = (plan.sp_sub[t_idx, j_idx // sw].astype(np.int64) * sw
+           + j_idx % sw)
+    np.testing.assert_array_equal(csr.col_indices[idx],
+                                  plan.sp_colperm[pos])
 
 
 def _check_gathered_consistency(csr, reord, plan):

@@ -63,9 +63,10 @@ def test_sharded_sddmm_matches_oracle(b_sharded):
                                              b_sharded=b_sharded,
                                              emit="rphm")
     import jax
-    d, g, r = jax.block_until_ready(fn2(A_dev, Bt_dev, dplan2))
+    d, pk, g, r = jax.block_until_ready(fn2(A_dev, Bt_dev, dplan2))
     from bsmr_sddmm_tpu.parallel import sharded_rphm_to_csr
     big = np.concatenate([np.asarray(d).reshape(-1),
+                          np.asarray(pk).reshape(-1),
                           np.asarray(g).reshape(-1), np.asarray(r)])
     out2 = big[sharded_rphm_to_csr(plans2)]
     assert check_data(expected, out2).passed
