@@ -35,9 +35,12 @@ ALPHAS = (0.1, 0.3, 0.5)
 # per per-nnz residual entry, so a (panel, cblock) pair is worth tiling
 # from ~15-24 nonzeros = delta ~0.002-0.006 at 32x128 — far below the GPU
 # reference's 0.3 sweet spot (measured round 2: 0.002 beats 0.02 on
-# banded, 0.006 wins community/rmat). Every K sweeps the same 3-point
-# TPU-regime grid.
-DELTAS = (0.002, 0.006, 0.02)
+# banded, 0.006 wins community/rmat). Round 3 adds the hot-column packed
+# tier as a swept dimension: (delta, subpack_min_nnz) pairs — the tier
+# wins +20-25% on hub-heavy masks (rmat/community at low delta) and is
+# neutral-to-negative elsewhere, so both arms compete per matrix like
+# the reference's alpha x delta best-of.
+CONFIGS = ((0.002, 0), (0.006, 0), (0.002, 12), (0.02, 12))
 # skip plans whose device-resident maps exceed this (the tile scatter map
 # costs 16 KB/tile regardless of K; a 262k-row power-law mask at delta
 # 0.002 packs ~150k mostly-empty tiles = a multi-GB upload through the
@@ -57,12 +60,15 @@ def main() -> int:
     best = {k: [] for k in KS}
     for name, gen in SUITE:
         csr = gen()
-        cfg = SddmmConfig(k=128, panel_height=32, num_iterations=10)
-        pipe = BsmrSddmm(csr, cfg)
+        base_cfg = SddmmConfig(k=128, panel_height=32, num_iterations=10)
+        pipes = {sub: BsmrSddmm(csr,
+                                base_cfg.replace(subpack_min_nnz=sub))
+                 for sub in {s for _, s in CONFIGS}}
+        pipe0 = next(iter(pipes.values()))
         # dedup alphas that reorder identically (their plans are identical)
         alphas, seen_perms = [], set()
         for alpha in ALPHAS:
-            key = hash(pipe._row_reordering(alpha).row_perm.tobytes())
+            key = hash(pipe0._row_reordering(alpha).row_perm.tobytes())
             if key not in seen_perms:
                 seen_perms.add(key)
                 alphas.append(alpha)
@@ -71,7 +77,8 @@ def main() -> int:
             B = make_dense(K, csr.cols, seed=1338)
             per_matrix = 0.0
             for alpha in alphas:
-                for delta in DELTAS:
+                for delta, sub in CONFIGS:
+                    pipe = pipes[sub]
                     plan = pipe.plan(alpha, delta, k=K)
                     plan_bytes = 4 * (
                         plan.tile_scatter.size + plan.g_scatter.size

@@ -152,13 +152,21 @@ def choose_delta(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     costs = current_costs()   # disk-cached per-device calibration if any
     best: Optional[Tuple[float, float, TilePlan]] = None
     table = {}
+    # the packed tier competes per matrix: measured on v5e it wins
+    # +20-25% on hub-heavy masks (rmat, some community) and is neutral-
+    # to-slightly-negative where the residual is singleton-dominated, so
+    # every delta is priced with the tier on AND off
+    subs = ((config.subpack_min_nnz, 0) if config.subpack_min_nnz
+            else (0,))
     for d in candidates:
         r = split_columns(csr, _dc.replace(reord), config, delta=d)
-        plan = pack_tiles(csr, r, config, k=k)
-        ms = estimate_plan_ms(plan, costs)
-        table[d] = ms
-        if best is None or ms < best[1]:
-            best = (d, ms, plan)
+        for sub in subs:
+            plan = pack_tiles(csr, r, config.replace(subpack_min_nnz=sub),
+                              k=k)
+            ms = estimate_plan_ms(plan, costs)
+            table[(d, sub)] = ms
+            if best is None or ms < best[1]:
+                best = (d, ms, plan)
     use_dense = False
     if allow_dense and csr.cols <= (1 << 23):
         dense_ms = estimate_dense_ms(csr.rows, csr.cols, csr.nnz, k_eff,
@@ -251,10 +259,21 @@ def calibrate(store: bool = True, ks=CALIBRATION_KS) -> dict:
         config = config.replace(k=k)
         reord = bsmr(csr, config.replace(delta=delta))
         plan = pack_tiles(csr, reord, config)
-        body = jax.jit(make_sddmm_body(plan, config, only_tier=tier))
+        body = make_sddmm_body(plan, config, only_tier=tier)
         A = jnp.asarray(make_dense(csr.rows, k, seed=1))
         Bt = jnp.asarray(make_dense(csr.cols, k, seed=2))
-        ms, _ = time_jitted(body, A, Bt, device_plan(plan), iterations=8)
+        if jax.default_backend() == "cpu":
+            ms, _ = time_jitted(jax.jit(body), A, Bt, device_plan(plan),
+                                iterations=8)
+        else:
+            # sub-ms tier bodies are only measurable in-program on this
+            # platform (utils/timing module docstring)
+            from bsmr_sddmm_tpu.ops.sddmm import resolve_backend
+            from bsmr_sddmm_tpu.utils.timing import time_tier_inprogram
+            opaque = (resolve_backend(config.backend) == "pallas"
+                      and tier in ("dense", "packed"))
+            ms = time_tier_inprogram(body, A, Bt, device_plan(plan),
+                                     opaque=opaque)
         units = {"dense": plan.tile_panel.shape[0],
                  "packed": plan.sp_panel.shape[0],
                  "gathered": plan.g_panel.shape[0],

@@ -238,6 +238,94 @@ def make_subpack_kernel(num_panels: int, ph: int, bw: int, k: int,
     return fn
 
 
+def make_fused_gathered_kernel(num_panels: int, ph: int, bw: int, k: int,
+                               precision: str = "bf16x3",
+                               interpret: bool = False):
+    """Fused gathered-tile SDDMM: the per-tile 128-row B gather happens
+    INSIDE the kernel via manual per-row DMAs, double-buffered against
+    the previous tile's MXU matmul (VERDICT r2 next-step #3: overlap the
+    gathered tier's B-gather with compute; reference analogue is the
+    dual-stream overlap, sddmmKernel.cu:2555-2648).
+
+    ``fn(A_panels, Bt, g_panel (Tg,), g_cols (Tg*bw,)) -> (Tg, ph, bw)``.
+    Bt stays in HBM (memory_space=ANY); each grid step waits for its
+    row set (issued one step ahead), issues the next tile's rows, and
+    runs the matmul — so DMA latency hides under the MXU.
+
+    Expected failure mode (measure before adopting): the XLA gather is
+    descriptor-rate-bound (~345 M rows/s) on the DMA engine itself;
+    issuing 128 copies from the scalar core per step may cost more than
+    the engine's own descriptor throughput, and the matmul (~60 ns) is
+    small cover. Committed either way per the measured-refutation rule.
+    """
+    def kernel(panel_ref, cols_ref, a_ref, b_hbm, out_ref, b_buf, sems):
+        t = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+
+        def issue(step, slot):
+            def body(i, _):
+                row = cols_ref[step * bw + i]
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(row, 1)],
+                    b_buf.at[slot, pl.ds(i, 1)],
+                    sems.at[slot]).start()
+                return 0
+            jax.lax.fori_loop(0, bw, body, 0, unroll=8)
+
+        def wait(slot):
+            def body(i, _):
+                pltpu.make_async_copy(
+                    b_hbm.at[pl.ds(0, 1)],
+                    b_buf.at[slot, pl.ds(i, 1)],
+                    sems.at[slot]).wait()
+                return 0
+            jax.lax.fori_loop(0, bw, body, 0, unroll=8)
+
+        @pl.when(t == 0)
+        def _():
+            issue(0, 0)
+
+        @pl.when(t + 1 < nsteps)
+        def _():
+            issue(t + 1, (t + 1) % 2)
+
+        wait(t % 2)
+        out_ref[0] = _tile_matmul(a_ref[0], b_buf[t % 2], precision)
+
+    def fn(A_panels: jax.Array, Bt: jax.Array, g_panel: jax.Array,
+           g_cols_flat: jax.Array) -> jax.Array:
+        Tg = g_panel.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(Tg,),
+            in_specs=[
+                pl.BlockSpec((1, ph, k),
+                             lambda t, panel_ref, cols_ref:
+                             (panel_ref[t], 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.ANY),   # Bt stays in HBM
+            ],
+            out_specs=pl.BlockSpec((1, ph, bw),
+                                   lambda t, panel_ref, cols_ref:
+                                   (t, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((2, bw, k), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((Tg, ph, bw), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=3 * 2 * Tg * ph * bw * k,
+                bytes_accessed=4 * Tg * (ph * k + bw * k + ph * bw),
+                transcendentals=0),
+            interpret=interpret,
+        )(g_panel, g_cols_flat, A_panels, Bt)
+
+    return fn
+
+
 def make_bsr_fat_kernel(num_panels: int, ph: int, bw: int, k: int,
                         n_cols: int, fat_group: int,
                         precision: str = "bf16x3",

@@ -23,8 +23,14 @@ def main() -> int:
     p.add_argument("--max-nnz", type=int, default=2_500_000)
     p.add_argument("--dataset-dir", default="/tmp/replica_dataset")
     p.add_argument("--log-dir", default="/tmp/replica_logs")
-    p.add_argument("--deltas", type=float, nargs="*",
-                   default=[0.002, 0.02])
+    p.add_argument("--configs", type=str, nargs="*",
+                   default=["0.002:0", "0.002:12", "0.02:12"],
+                   help="delta:subpack_min_nnz pairs swept per matrix "
+                        "(best-of, like the reference's alpha x delta "
+                        "sweep; the packed tier competes as its own arm)")
+    p.add_argument("--deltas", type=float, nargs="*", default=None,
+                   help="override: sweep these deltas at the default "
+                        "subpack setting")
     p.add_argument("--alphas", type=float, nargs="*", default=[0.1, 0.3],
                    help="best-over-(alpha x delta) per matrix, the "
                         "reference's committed methodology "
@@ -45,6 +51,11 @@ def main() -> int:
     from bsmr_sddmm_tpu.formats import save_mtx
     from bsmr_sddmm_tpu.replicas import make_replica, select_suite
 
+    if args.deltas is not None:
+        configs = [(d, 12) for d in args.deltas]
+    else:
+        configs = [(float(c.split(":")[0]), int(c.split(":")[1]))
+                   for c in args.configs]
     specs = select_suite(count=args.count, max_nnz=args.max_nnz)
     os.makedirs(args.dataset_dir, exist_ok=True)
     os.makedirs(args.log_dir, exist_ok=True)
@@ -59,7 +70,7 @@ def main() -> int:
             paths.append(path)
         statuses = run_suite(paths, args.log_dir, ks=(args.k,),
                              alphas=tuple(args.alphas),
-                             deltas=tuple(args.deltas),
+                             deltas=tuple(d for d, _ in configs),
                              baselines=args.baselines, backend="auto",
                              validate=True, fast_bench=True,
                              timeout_s=args.timeout)
@@ -98,27 +109,38 @@ def main() -> int:
         csr = make_replica(s)
         A = make_dense(csr.rows, K, seed=1337)
         B = make_dense(K, csr.cols, seed=1338)
-        cfg = SddmmConfig(k=K, panel_height=32, num_iterations=10)
-        pipe = BsmrSddmm(csr, cfg)
+        base_cfg = SddmmConfig(k=K, panel_height=32, num_iterations=10)
+        pipes = {sub: BsmrSddmm(csr, base_cfg.replace(subpack_min_nnz=sub))
+                 for sub in {c[1] for c in configs}}
+        pipe0 = next(iter(pipes.values()))
         logpath = os.path.join(args.log_dir, f"BSMR_{s.name}.log")
         # dedup alphas that reorder identically (identical plans)
         alphas, seen_perms = [], set()
         for alpha in args.alphas:
             try:
-                key = hash(pipe._row_reordering(alpha).row_perm.tobytes())
+                key = hash(pipe0._row_reordering(alpha).row_perm.tobytes())
             except Exception:
                 alphas.append(alpha)
                 continue
             if key not in seen_perms:
                 seen_perms.add(key)
                 alphas.append(alpha)
+        for sub in pipes:
+            pipes[sub]._row_cache = pipe0._row_cache  # share reorderings
+        validated_subs = set()
         for alpha in alphas:
-            for delta in args.deltas:
+            for delta, sub in configs:
+                pipe = pipes[sub]
+                # the fp64 oracle costs seconds per multi-M-nnz matrix on
+                # this 1-core host: validate one config per (matrix,
+                # subpack arm) — every matrix checked on both tier mixes
+                validate = sub not in validated_subs
+                validated_subs.add(sub)
                 try:
                     log = with_retry(
                         lambda: pipe.benchmark(A, B, alpha=alpha,
                                                delta=delta,
-                                               validate=True,
+                                               validate=validate,
                                                time_csr_emit=False,
                                                file=name),
                         f"{s.name} a={alpha} d={delta}")
@@ -127,7 +149,7 @@ def main() -> int:
                     ok = log.check_result == "pass"
                     n_fail += 0 if ok else 1
                     print(f"[{i+1}/{len(specs)} {s.name} a={alpha} "
-                          f"d={delta}] {log.gflops:.0f} GFLOPS "
+                          f"d={delta} sub={sub}] {log.gflops:.0f} GFLOPS "
                           f"({log.sddmm_ms:.3f} ms, fill "
                           f"{log.average_tile_density:.4f}) check="
                           f"{log.check_result} "
@@ -136,7 +158,8 @@ def main() -> int:
                 except Exception as e:  # keep sweeping (isolation)
                     n_fail += 1
                     print(f"[{i+1}/{len(specs)} {s.name} a={alpha} "
-                          f"d={delta}] FAILED: {e!r}", flush=True)
+                          f"d={delta} sub={sub}] FAILED: {e!r}",
+                          flush=True)
         for base in args.baselines:
             if base == "bcoo" and csr.cols > args.bcoo_max_n:
                 continue
