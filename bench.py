@@ -82,6 +82,8 @@ def main() -> int:
                     plan = pipe.plan(alpha, delta, k=K)
                     plan_bytes = 4 * (
                         plan.tile_scatter.size + plan.g_scatter.size
+                        + plan.sp_scatter.size + plan.sp_sub.size
+                        + plan.sp_colperm.size
                         + plan.tile_cols.size + plan.g_cols.size
                         + 3 * plan.res_arow.size + plan.rphm_to_csr.size)
                     if plan_bytes > MAX_PLAN_BYTES:
