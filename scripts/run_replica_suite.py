@@ -45,6 +45,11 @@ def main() -> int:
     p.add_argument("--isolate", action="store_true",
                    help="subprocess-per-run via bsmr-run-suite")
     p.add_argument("--timeout", type=float, default=1200.0)
+    p.add_argument("--stop-file", default="/tmp/replica_suite.stop",
+                   help="graceful shutdown: create this file and the "
+                        "sweep stops after the current matrix (never "
+                        "kill the process mid-device-call — a killed "
+                        "call wedges the device tunnel)")
     p.add_argument("-k", type=int, default=128)
     args = p.parse_args()
 
@@ -104,6 +109,10 @@ def main() -> int:
                 _t.sleep(wait)
 
     for i, s in enumerate(specs):
+        if args.stop_file and os.path.exists(args.stop_file):
+            print(f"stop file {args.stop_file} present; stopping after "
+                  f"{i}/{len(specs)} matrices", flush=True)
+            break
         name = f"{s.name}.mtx"
         t0 = time.time()
         csr = make_replica(s)
