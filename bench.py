@@ -117,7 +117,7 @@ def main() -> int:
             A = make_dense(csr.rows, K, seed=1337)
             B = make_dense(K, csr.cols, seed=1338)
             per_matrix = 0.0
-            if K == 128:
+            if K == 128 or os.environ.get("BENCH_FULL_GRID"):
                 combos = [(a, c) for a in alphas for c in CONFIGS]
             else:
                 combos = sorted(scores, key=scores.get,
