@@ -63,7 +63,8 @@ def main() -> int:
     only = os.environ.get("BENCH_MATRICES")   # comma-separated subset
     suite = [(n, g) for n, g in SUITE
              if only is None or n in only.split(",")]
-    best = {k: [] for k in KS}
+    best = {k: [] for k in KS}        # best over all arms incl. fp16-out
+    best32 = {k: [] for k in KS}      # fp32-emission arms only
     for name, gen in suite:
         csr = gen()
         base_cfg = SddmmConfig(k=128, panel_height=32, num_iterations=10)
@@ -87,9 +88,10 @@ def main() -> int:
         # the wall time; this is a documented selective sweep, not a
         # silent cap.
         scores = {}   # (alpha, config) -> K=128 gflops
+        pipes16 = {}  # fp16-emission pipes, lazily built per subpack arm
 
-        def run_one(K, A, B, alpha, delta, sub):
-            pipe = pipes[sub]
+        def run_one(K, A, B, alpha, delta, sub, pmap=None, tag=""):
+            pipe = (pmap if pmap is not None else pipes)[sub]
             plan = pipe.plan(alpha, delta, k=K)
             plan_bytes = 4 * (
                 plan.tile_scatter.size + plan.g_scatter.size
@@ -105,7 +107,7 @@ def main() -> int:
             log = pipe.benchmark(A, B, alpha=alpha, delta=delta,
                                  time_csr_emit=False, file=name)
             print(f"# {log.file} a={alpha} d={delta} "
-                  f"k={K}: {log.gflops:.0f} GFLOPS "
+                  f"k={K}{tag}: {log.gflops:.0f} GFLOPS "
                   f"({log.sddmm_ms:.3f} ms, dense {log.dense_nnz},"
                   f" gath {log.gathered_nnz}, "
                   f"res {log.residual_nnz}, "
@@ -122,23 +124,46 @@ def main() -> int:
             else:
                 combos = sorted(scores, key=scores.get,
                                 reverse=True)[:N_TRANSFER]
+            best_combo = None
             for alpha, (delta, sub) in combos:
                 gf = run_one(K, A, B, alpha, delta, sub)
                 if gf is None:
                     continue
+                if gf >= per_matrix:
+                    best_combo = (alpha, (delta, sub))
                 per_matrix = max(per_matrix, gf)
                 if K == 128:
                     scores[(alpha, (delta, sub))] = gf
+            # fp16-emission arm on the best fp32 combo: fp32 MXU
+            # accumulate, fp16 store — halves every tier's output bytes
+            # (the dense tier's largest DMA term) and passes the
+            # reference tolerance (SddmmConfig.out_dtype; validated in
+            # the replica suite / verify drive). The ` dt=f16` tag keeps
+            # these lines out of check_autotune's positional parser.
+            per_matrix32 = per_matrix
+            if best_combo is not None and os.environ.get(
+                    "BENCH_FP16", "1") != "0":
+                alpha16, (delta16, sub16) = best_combo
+                if sub16 not in pipes16:
+                    pipes16[sub16] = BsmrSddmm(
+                        csr, base_cfg.replace(subpack_min_nnz=sub16,
+                                              out_dtype="float16"))
+                    pipes16[sub16]._row_cache = pipe0._row_cache
+                gf16 = run_one(K, A, B, alpha16, delta16, sub16,
+                               pmap=pipes16, tag=" dt=f16")
+                if gf16 is not None:
+                    per_matrix = max(per_matrix, gf16)
             if per_matrix == 0.0:
                 # every delta skipped by the plan-size guard: fall back to
                 # the dense-fallback arm so the geomean reflects a real
                 # run instead of silently cratering through the 1e-9 floor
                 log = pipe0.benchmark(A, B, delta="dense", file=name)
-                per_matrix = log.gflops
+                per_matrix = per_matrix32 = log.gflops
                 print(f"# {name} k={K}: all tiled plans skipped -> "
                       f"dense fallback {log.gflops:.0f} GFLOPS",
                       file=sys.stderr, flush=True)
             best[K].append(per_matrix)
+            best32[K].append(per_matrix32)
 
     def geomean(xs):
         return float(np.exp(np.mean(np.log(np.maximum(xs, 1e-9)))))
@@ -155,6 +180,12 @@ def main() -> int:
         "vs_baseline": round(g128 / BASELINE_GEOMEAN_GFLOPS[128], 4),
         "per_k_geomean": per_k,
         "per_k_vs_baseline": per_k_vs,
+        # fp32-emission-only geomeans (the fp16-out arm excluded), so
+        # the mixed headline is always attributable: the reference
+        # stores fp32; our fp16 arm passes the same tolerance gate but
+        # is reported separately too
+        "per_k_geomean_fp32out": {str(k): round(geomean(best32[k]), 1)
+                                  for k in KS},
     }))
     return 0
 

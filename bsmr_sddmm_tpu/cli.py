@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="nonzeros a 32-wide aligned column sub-block "
                         "needs to join the packed tile tier (0 disables)")
     p.add_argument("--subblock-width", type=int, default=32)
+    p.add_argument("--out-dtype", choices=["float32", "float16"],
+                   default="float32",
+                   help="output value dtype; float16 halves every "
+                        "tier's output bytes (fp32 accumulate, narrow "
+                        "store) and still passes the reference "
+                        "tolerance")
     p.add_argument("--validate", action="store_true",
                    help="check against the fp64 CPU oracle (reference "
                         "#define VALIDATE, src/sddmm.cu:7)")
@@ -83,6 +89,7 @@ def main(argv=None) -> int:
                       row_strategy=args.row_strategy,
                       subpack_min_nnz=args.subpack_min_nnz,
                       subblock_width=args.subblock_width,
+                      out_dtype=args.out_dtype,
                       reorder_cache=args.reorder_cache,
                       num_iterations=args.iterations)
     pipe = BsmrSddmm(csr, cfg)

@@ -48,6 +48,15 @@ class SddmmConfig:
     # (6-pass), "default" is raw bf16 (1 pass, fails the rel-1e-3 check).
     matmul_precision: str = "bf16x3"  # "default" | "bf16x3" | "highest"
     dtype: str = "float32"
+    # Output value dtype. "float16" halves the output bytes of every tier
+    # (accumulation stays fp32 in the MXU; only the store narrows) and
+    # still passes the reference tolerance (fp16 round-off is rel ~5e-4
+    # < the 1e-3 rel gate, include/checkData.hpp:14-30) — on v5e the
+    # dense tier is DMA-bound with the 16 KB fp32 output tile its single
+    # largest term, so this is the one remaining dense-tier byte lever.
+    # The reference stores fp32 (matrixP is float); results measured with
+    # fp16 emission are always reported alongside fp32 ones.
+    out_dtype: str = "float32"   # "float32" | "float16"
 
     # --- column split mode --------------------------------------------------
     # "bsr"     : TPU-first. No column permutation: dense tiles are the
@@ -192,6 +201,8 @@ class SddmmConfig:
             raise ValueError(
                 f"unknown matmul_precision {self.matmul_precision!r}"
             )
+        if self.out_dtype not in ("float32", "float16"):
+            raise ValueError(f"unknown out_dtype {self.out_dtype!r}")
 
     @property
     def block_size(self) -> int:

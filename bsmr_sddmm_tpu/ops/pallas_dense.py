@@ -66,7 +66,8 @@ def _tile_matmul(a, b, precision: str):
 
 def make_bsr_dense_kernel(num_panels: int, ph: int, bw: int, k: int,
                           n_cols: int, precision: str = "highest",
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          out_dtype=jnp.float32):
     """BSR-mode dense SDDMM kernel: zero gather traffic.
 
     Build ``fn(A_panels, Bt, tile_panel, tile_cblock) -> (T, ph, bw)``.
@@ -83,7 +84,8 @@ def make_bsr_dense_kernel(num_panels: int, ph: int, bw: int, k: int,
 
     def kernel(panel_ref, cblock_ref, a_ref, b_ref, out_ref):
         # a_ref: (1, ph, K); b_ref: (bw, K); out_ref: (1, ph, bw)
-        out_ref[0] = _tile_matmul(a_ref[0], b_ref[:], precision)
+        out_ref[0] = _tile_matmul(a_ref[0], b_ref[:],
+                                  precision).astype(out_dtype)
 
     def fn(A_panels: jax.Array, Bt: jax.Array, tile_panel: jax.Array,
            tile_cblock: jax.Array) -> jax.Array:
@@ -109,7 +111,7 @@ def make_bsr_dense_kernel(num_panels: int, ph: int, bw: int, k: int,
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((T, ph, bw), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((T, ph, bw), out_dtype),
             cost_estimate=pl.CostEstimate(
                 flops=2 * T * ph * bw * k,
                 bytes_accessed=4 * T * (ph * k + bw * k + ph * bw),
@@ -122,7 +124,8 @@ def make_bsr_dense_kernel(num_panels: int, ph: int, bw: int, k: int,
 
 def make_dense_tile_kernel(num_panels: int, ph: int, bw: int, k: int,
                            chunk: int, precision: str = "highest",
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           out_dtype=jnp.float32):
     """Build ``fn(A_panels, b_tiles, tile_panel) -> (chunk, ph, bw)``.
 
     A_panels: (num_panels, ph, K) fp32 — the row-permuted A, panel-major.
@@ -132,7 +135,8 @@ def make_dense_tile_kernel(num_panels: int, ph: int, bw: int, k: int,
     def kernel(panel_ref, a_ref, b_ref, out_ref):
         # a_ref: (1, ph, K) — the tile's panel, selected by index_map
         # b_ref: (1, bw, K); out_ref: (1, ph, bw)
-        out_ref[0] = _tile_matmul(a_ref[0], b_ref[0], precision)
+        out_ref[0] = _tile_matmul(a_ref[0], b_ref[0],
+                                  precision).astype(out_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -153,7 +157,7 @@ def make_dense_tile_kernel(num_panels: int, ph: int, bw: int, k: int,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((chunk, ph, bw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((chunk, ph, bw), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=interpret,
@@ -175,7 +179,8 @@ make_gathered_tile_kernel = make_dense_tile_kernel
 def make_subpack_kernel(num_panels: int, ph: int, bw: int, k: int,
                         n_cols: int, sw: int,
                         precision: str = "bf16x3",
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        out_dtype=jnp.float32):
     """Sub-block packed SDDMM kernel: S = bw/sw qualifying sw-wide aligned
     column sub-blocks of one panel per 128-lane tile.
 
@@ -196,7 +201,8 @@ def make_subpack_kernel(num_panels: int, ph: int, bw: int, k: int,
         b_refs = refs[1:1 + S]
         out_ref = refs[1 + S]
         b = jnp.concatenate([br[:] for br in b_refs], axis=0)  # (bw, K)
-        out_ref[0] = _tile_matmul(a_ref[0], b, precision)
+        out_ref[0] = _tile_matmul(a_ref[0], b,
+                                  precision).astype(out_dtype)
 
     def fn(A_panels: jax.Array, Bt: jax.Array, sp_panel: jax.Array,
            sp_sub: jax.Array) -> jax.Array:
@@ -227,7 +233,7 @@ def make_subpack_kernel(num_panels: int, ph: int, bw: int, k: int,
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((Tp, ph, bw), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((Tp, ph, bw), out_dtype),
             cost_estimate=pl.CostEstimate(
                 flops=3 * 2 * Tp * ph * bw * k,
                 bytes_accessed=4 * Tp * (ph * k + bw * k + ph * bw),
@@ -329,7 +335,8 @@ def make_fused_gathered_kernel(num_panels: int, ph: int, bw: int, k: int,
 def make_bsr_fat_kernel(num_panels: int, ph: int, bw: int, k: int,
                         n_cols: int, fat_group: int,
                         precision: str = "bf16x3",
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        out_dtype=jnp.float32):
     """Fat-step BSR dense kernel: G same-cblock tiles per grid step.
 
     ``fn(A_panels, Bt, tile_panel (T,), step_cblock (T/G,)) ->
@@ -345,7 +352,8 @@ def make_bsr_fat_kernel(num_panels: int, ph: int, bw: int, k: int,
         a_refs = refs[:G]
         b_ref, out_ref = refs[G], refs[G + 1]
         a = jnp.concatenate([ar[0] for ar in a_refs], axis=0)  # (G*ph, K)
-        out_ref[0] = _tile_matmul(a, b_ref[:], precision)
+        out_ref[0] = _tile_matmul(a, b_ref[:],
+                                  precision).astype(out_dtype)
 
     def fn(A_panels: jax.Array, Bt: jax.Array, tile_panel: jax.Array,
            step_cblock: jax.Array) -> jax.Array:
@@ -375,7 +383,7 @@ def make_bsr_fat_kernel(num_panels: int, ph: int, bw: int, k: int,
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_steps, G * ph, bw),
-                                           jnp.float32),
+                                           out_dtype),
             cost_estimate=pl.CostEstimate(
                 flops=3 * 2 * T * ph * bw * k,
                 bytes_accessed=4 * T * (ph * k + ph * bw)

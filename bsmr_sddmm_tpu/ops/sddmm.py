@@ -141,6 +141,11 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
     E = plan.res_arow.shape[0]
     nnz = plan.nnz
     precision = _PRECISION[config.matmul_precision]
+    # fp16 emission: fp32 MXU accumulate, narrow store — halves every
+    # tier's output bytes (the dense tier's largest DMA term) and passes
+    # the reference tolerance (see SddmmConfig.out_dtype)
+    out_dt = (jnp.float16 if config.out_dtype == "float16"
+              else jnp.float32)
     def _chunk_of(n: int, want: int) -> int:
         """Largest chunk <= want that divides n exactly (plans from
         pack.exec_size are already exact multiples; shard-local plans are
@@ -161,18 +166,19 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
             dense_kernel = make_bsr_fat_kernel(
                 num_panels=num_panels, ph=ph, bw=bw, k=k, n_cols=plan.cols,
                 fat_group=G, precision=config.matmul_precision,
-                interpret=interpret)
+                interpret=interpret, out_dtype=out_dt)
         elif mode == "bsr":
             from bsmr_sddmm_tpu.ops.pallas_dense import make_bsr_dense_kernel
             dense_kernel = make_bsr_dense_kernel(
                 num_panels=num_panels, ph=ph, bw=bw, k=k, n_cols=plan.cols,
-                precision=config.matmul_precision, interpret=interpret)
+                precision=config.matmul_precision, interpret=interpret,
+                out_dtype=out_dt)
         else:
             from bsmr_sddmm_tpu.ops.pallas_dense import make_dense_tile_kernel
             dense_kernel = make_dense_tile_kernel(
                 num_panels=num_panels, ph=ph, bw=bw, k=k,
                 chunk=dense_chunk, precision=config.matmul_precision,
-                interpret=interpret)
+                interpret=interpret, out_dtype=out_dt)
     else:
         dense_kernel = None
 
@@ -221,7 +227,7 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
                     a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     precision=precision,
                     preferred_element_type=jnp.float32)  # (C, G*ph, bw)
-                return None, out
+                return None, out.astype(out_dt)
 
             chunks = (dplan.tile_src.reshape(S, step_chunk),
                       dplan.tile_panel.reshape(S, step_chunk * G))
@@ -257,7 +263,8 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
                     a, b,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     precision=precision,
-                    preferred_element_type=jnp.float32)    # (C, ph, bw)
+                    preferred_element_type=jnp.float32,
+                ).astype(out_dt)                           # (C, ph, bw)
 
         if backend != "pallas" and T * bw * k * 4 <= budget_bytes:
             # single-shot: one gather + one batched matmul
@@ -290,7 +297,7 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         subpack_kernel = make_subpack_kernel(
             num_panels=num_panels, ph=ph, bw=bw, k=k, n_cols=H_cp,
             sw=sw, precision=config.matmul_precision,
-            interpret=interpret)
+            interpret=interpret, out_dtype=out_dt)
     else:
         subpack_kernel = None
 
@@ -302,7 +309,7 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         then S contiguous (sw, K) slices of Bt2 — block DMAs instead of
         the gathered tier's 512-byte row-gather descriptors."""
         if Tp == 0:
-            return jnp.zeros((0, ph, bw), jnp.float32)
+            return jnp.zeros((0, ph, bw), out_dt)
         Bt2 = jnp.take(Bt, dplan.sp_colperm, axis=0)    # (H, K)
         if backend == "pallas":
             if Tp * ph * bw * 4 <= max(budget_bytes, 1 << 28):
@@ -328,7 +335,7 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
             return jax.lax.dot_general(
                 a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 precision=precision,
-                preferred_element_type=jnp.float32)  # (C, ph, bw)
+                preferred_element_type=jnp.float32).astype(out_dt)
 
         if Tp * bw * k * 4 <= budget_bytes:
             return tiles_matmul(dplan.sp_panel, dplan.sp_sub)
@@ -366,7 +373,7 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
             return jax.lax.dot_general(
                 a, b, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 precision=precision,
-                preferred_element_type=jnp.float32)  # (C, ph, bw)
+                preferred_element_type=jnp.float32).astype(out_dt)
 
         if plan.g_groups is not None and plan.num_gathered:
             # windowed gathers: each static (base, start, end) group of
@@ -383,7 +390,7 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
                     parts.append(tiles_matmul(pc, cc, window))
             tail = Tg - plan.num_gathered
             if tail:
-                parts.append(jnp.zeros((tail, ph, bw), jnp.float32))
+                parts.append(jnp.zeros((tail, ph, bw), out_dt))
             return jnp.concatenate(parts, axis=0)
 
         if Tg * bw * k * 4 <= budget_bytes:
@@ -408,7 +415,7 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         def dots(arow_c, col_c, B_src):
             a = jnp.take(A_perm, arow_c, axis=0)   # (C, K)
             b = jnp.take(B_src, col_c, axis=0)     # (C, K)
-            return jnp.sum(a * b, axis=-1)         # fp32 on the VPU
+            return jnp.sum(a * b, axis=-1).astype(out_dt)  # fp32 VPU acc
 
         if plan.res_groups is not None and plan.num_residual:
             # windowed gathers on either/both operands (gather cliff)
@@ -431,10 +438,10 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
                         rc = rc - b_base
                     a = jnp.take(A_src, ar, axis=0)
                     b = jnp.take(B_src, rc, axis=0)
-                    parts.append(jnp.sum(a * b, axis=-1))
+                    parts.append(jnp.sum(a * b, axis=-1).astype(out_dt))
             tail = E - plan.num_residual
             if tail:
-                parts.append(jnp.zeros(tail, jnp.float32))
+                parts.append(jnp.zeros(tail, out_dt))
             return jnp.concatenate(parts)
 
         if E * k * 4 * 2 <= budget_bytes:
@@ -483,7 +490,7 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
         # "csr_scatter": scatter every (padded) slot; slow, but each
         # non-owned slot lands in the trash element, which is what the
         # shard_map path needs (per-shard partials psum to the total)
-        P = jnp.zeros(nnz + 1, dtype=jnp.float32)
+        P = jnp.zeros(nnz + 1, dtype=out_dt)
         P = P.at[dplan.tile_scatter.reshape(-1)].set(
             dense_out.reshape(-1), mode="drop", unique_indices=False)
         if Tp:

@@ -158,8 +158,12 @@ def time_tier_inprogram(body: Callable, A, Bt, dplan,
         def fn(A, Bt, dplan):
             def step(_, c):
                 out = body(A * (1.0 + c), Bt, dplan)
-                probe = (out.ravel()[0] + out.ravel()[-1] if opaque
-                         else jnp.sum(out) * 1e-30)
+                # fp32 probes regardless of the body's out_dtype (an
+                # fp16 sum overflows; fp16 * 1e-30 underflows to 0)
+                probe = ((out.ravel()[0]
+                          + out.ravel()[-1]).astype(jnp.float32)
+                         if opaque
+                         else jnp.sum(out, dtype=jnp.float32) * 1e-30)
                 return probe * 1e-37
             return jax.lax.fori_loop(0, reps, step, jnp.float32(0.0))
         return jax.jit(fn)
@@ -214,12 +218,17 @@ def time_rphm_inprogram(body: Callable, A, Bt, dplan,
                 # pallas backend): one element keeps the whole call
                 # alive; XLA tiers take full sums (a sliced dot can be
                 # legally narrowed)
-                probe = (d.ravel()[0] if dense_opaque
-                         else jnp.sum(d) * 1e-30)
-                pprobe = ((p.ravel()[0] if p.size else 0.0)
-                          if dense_opaque else jnp.sum(p) * 1e-30)
+                # fp32 probes regardless of the body's out_dtype (an
+                # fp16 sum overflows; fp16 * 1e-30 underflows to 0)
+                probe = (d.ravel()[0].astype(jnp.float32) if dense_opaque
+                         else jnp.sum(d, dtype=jnp.float32) * 1e-30)
+                pprobe = ((p.ravel()[0].astype(jnp.float32)
+                           if p.size else jnp.float32(0.0))
+                          if dense_opaque
+                          else jnp.sum(p, dtype=jnp.float32) * 1e-30)
                 s = (probe * 1e-30 + pprobe * 1e-30
-                     + jnp.sum(g) * 1e-30 + jnp.sum(r))
+                     + jnp.sum(g, dtype=jnp.float32) * 1e-30
+                     + jnp.sum(r, dtype=jnp.float32))
                 return s * 1e-37
             return jax.lax.fori_loop(0, reps, step,
                                      jnp.float32(0.0))

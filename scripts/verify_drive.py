@@ -34,9 +34,13 @@ def main() -> int:
         ("all-residual d=1.1", dict(delta=1.1)),
         ("pallas backend", dict(delta=0.3, backend="pallas")),
         ("packed sub=12", dict(delta=0.02, subpack=12)),
+        ("fp16 emission", dict(delta=0.3, out_dtype="float16")),
+        ("fp16 pallas", dict(delta=0.3, out_dtype="float16",
+                             backend="pallas")),
     ]:
         cfg = bs.SddmmConfig(k=128, alpha=0.3, delta=kw["delta"],
-                             subpack_min_nnz=kw.get("subpack", 0))
+                             subpack_min_nnz=kw.get("subpack", 0),
+                             out_dtype=kw.get("out_dtype", "float32"))
         if "backend" in kw:
             cfg = cfg.replace(backend=kw["backend"])
         log = bs.BsmrSddmm(S, cfg).benchmark(A, B, validate=True,

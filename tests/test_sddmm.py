@@ -45,6 +45,23 @@ def test_pallas_backend_matches_oracle(tiny_mask, mode):
     assert res.passed, str(res)
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("delta", [0.0, 0.3, 1.1])
+def test_fp16_emission_matches_oracle(small_mask, delta, backend):
+    """out_dtype="float16": fp32 accumulate, fp16 store. Must still pass
+    the reference tolerance (fp16 round-off rel ~5e-4 < the 1e-3 gate)
+    on every tier mix, both backends."""
+    cfg = SddmmConfig(k=32, panel_height=16, delta=delta,
+                      out_dtype="float16", backend=backend,
+                      subpack_min_nnz=12,
+                      dense_chunk=64, residual_chunk=4096)
+    A, B = make_ab(small_mask, cfg.k)
+    out = sddmm(A, B, small_mask, cfg)
+    assert out.dtype == np.float16
+    res = check_data(sddmm_ref(A, B, small_mask), out)
+    assert res.passed, str(res)
+
+
 def test_panel_heights(small_mask):
     for ph in (16, 32, 64):
         cfg = SddmmConfig(k=32, panel_height=ph, dense_chunk=32,
