@@ -100,16 +100,27 @@ def _affine(costs: dict, prefix: str, k: int) -> float:
 
 
 def estimate_plan_ms(plan: TilePlan,
-                     costs: dict = V5E_COSTS) -> float:
+                     costs: dict = V5E_COSTS,
+                     out_dtype: str = "float32") -> float:
     """Predicted kernel time (rphm emit) for one packed plan. Every tier
     cost is affine in K (bytes scale with K; descriptors do not), so one
     cost table prices all of K in {32..256} — fixing the round-2 weakness
-    of a K=128-only model skewing delta choice at other K."""
+    of a K=128-only model skewing delta choice at other K.
+
+    ``out_dtype="float16"`` subtracts half the per-tile output-byte term
+    (ph*bw*2 bytes at stream rate) from every tiled tier — fp16 emission
+    halves the store, shifting the delta optimum slightly toward more
+    tiles."""
     k = plan.k
     big = plan.window_rows is not None
-    dense_ns = (_affine(costs, "dense_floor", k)
+    out_save_ns = 0.0
+    if out_dtype == "float16":
+        out_save_ns = (plan.panel_height * plan.block_width * 2
+                       / costs["stream_gbps"])
+    dense_ns = (_affine(costs, "dense_floor", k) - out_save_ns
                 + _affine(costs, "dense_step", k) / max(plan.fat_group, 1))
-    g_ns = _affine(costs, "gathered_big" if big else "gathered", k)
+    g_ns = _affine(costs, "gathered_big" if big else "gathered",
+                   k) - out_save_ns
     e_ns = _affine(costs, "pernnz_big" if big else "pernnz", k)
     colperm_rows = (plan.sp_colperm.shape[0]
                     if plan.sp_colperm is not None and plan.num_packed
@@ -163,7 +174,8 @@ def choose_delta(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         for sub in subs:
             plan = pack_tiles(csr, r, config.replace(subpack_min_nnz=sub),
                               k=k)
-            ms = estimate_plan_ms(plan, costs)
+            ms = estimate_plan_ms(plan, costs,
+                                  out_dtype=config.out_dtype)
             table[(d, sub)] = ms
             if best is None or ms < best[1]:
                 best = (d, ms, plan)
