@@ -412,6 +412,10 @@ def test_cost_model_k_aware(tmp_path, monkeypatch):
     for k in (32, 128, 256):
         plan = pack_tiles(csr, reord, cfg, k=k)
         ms_by_k[k] = autotune.estimate_plan_ms(plan)
+        # fp16 emission halves the store: strictly cheaper, and by no
+        # more than the whole output-byte term
+        ms16 = autotune.estimate_plan_ms(plan, out_dtype="float16")
+        assert ms16 < ms_by_k[k]
     assert ms_by_k[32] < ms_by_k[128] < ms_by_k[256]
     # affine: equal K steps give equal time steps (within fp tolerance)
     d1 = ms_by_k[128] - ms_by_k[32]      # 96-wide step
