@@ -24,6 +24,11 @@ def main() -> int:
                                                             "*.log"))))
     best = best_per_matrix(results)
     ref = {s.name: s for s in load_manifest()}
+    # fp16-emission arm logs live in a sibling dir so the analyzer never
+    # mixes them into the fp32 bsmr method (run_replica_suite --fp16-arm)
+    fp16_results = parse_log_files(sorted(glob.glob(
+        os.path.join(log_dir + "_fp16", "*.log"))))
+    fp16_best = best_per_matrix(fp16_results)
 
     methods = sorted({m for (_, kk, m) in best if kk == k})
     files = sorted({f for (f, kk, _) in best if kk == k})
@@ -45,6 +50,9 @@ def main() -> int:
         for m in methods:
             rm = best.get((f, k, m))
             row[m] = round(rm.gflops, 2) if rm else ""
+        r16 = fp16_best.get((f, k, "bsmr"))
+        if r16:
+            row["bsmr_fp16"] = round(r16.gflops, 2)
         row["ref_bsmr_rtx4090"] = (spec.ref_bsmr_gflops.get(k, "")
                                    if spec else "")
         if r and spec and spec.ref_bsmr_gflops.get(k):
@@ -53,7 +61,8 @@ def main() -> int:
 
     os.makedirs(out_dir, exist_ok=True)
     cols = (["file", "M", "N", "NNZ", "Sparsity", "K", "regime"]
-            + methods + ["ref_bsmr_rtx4090", "vs_ref"])
+            + methods + (["bsmr_fp16"] if fp16_best else [])
+            + ["ref_bsmr_rtx4090", "vs_ref"])
     csv_path = os.path.join(out_dir, f"results_{k}.csv")
     with open(csv_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=cols)
@@ -91,6 +100,25 @@ def main() -> int:
                  and r.check_result == "pass")
     summary["bsmr_accuracy"] = (round(n_pass / n_checked, 4)
                                 if n_checked else None)
+    # fp16-emission arm: matched-subset speedup vs the fp32 best config
+    # + its own oracle accuracy (every fp16 run is validated)
+    if fp16_best:
+        r16s = [(r.get("bsmr_fp16"), r.get("bsmr")) for r in rows]
+        pairs = [(a, b) for a, b in r16s
+                 if isinstance(a, (int, float))
+                 and isinstance(b, (int, float)) and b > 0]
+        summary["geomean_bsmr_fp16"] = round(
+            geomean([a for a, _ in pairs]), 1)
+        summary["speedup_fp16_vs_fp32"] = round(
+            geomean([a / b for a, b in pairs]), 3)
+        summary["n_matched_fp16"] = len(pairs)
+        n16 = sum(1 for r in fp16_results
+                  if r.method == "bsmr" and r.k == k
+                  and r.check_result in ("pass", "fail"))
+        p16 = sum(1 for r in fp16_results
+                  if r.method == "bsmr" and r.k == k
+                  and r.check_result == "pass")
+        summary["fp16_accuracy"] = (round(p16 / n16, 4) if n16 else None)
     # per-regime
     for regime in ("mesh", "opt", "graph"):
         sub = [r for r in rows if r.get("regime") == regime]
