@@ -22,6 +22,8 @@ def main() -> int:
     p.add_argument("--deltas", type=float, nargs="*",
                    default=[0.002, 0.02])
     p.add_argument("--out", default="results/v5e_r3/batched_smallk.json")
+    p.add_argument("--limit", type=int, default=4,
+                   help="number of suite matrices (CPU smoke: 1)")
     args = p.parse_args()
 
     import jax
@@ -38,7 +40,7 @@ def main() -> int:
 
     K = args.k
     rows = []
-    for name, gen in SUITE[:4]:
+    for name, gen in SUITE[:args.limit]:
         csr = gen()
         cfg = SddmmConfig(k=K, panel_height=32)
         pipe = BsmrSddmm(csr, cfg)
