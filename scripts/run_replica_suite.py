@@ -45,6 +45,14 @@ def main() -> int:
     p.add_argument("--isolate", action="store_true",
                    help="subprocess-per-run via bsmr-run-suite")
     p.add_argument("--timeout", type=float, default=1200.0)
+    p.add_argument("--no-skip-existing", action="store_true",
+                   help="by default a matrix whose BSMR log already "
+                        "exists in --log-dir is skipped, so a killed "
+                        "sweep resumes where it stopped (the analyzer "
+                        "dedups best-per-matrix over appended records, "
+                        "the reference's re-run-and-merge semantics — "
+                        "analyze_results.cpp:1340-1360); pass this to "
+                        "force re-running everything")
     p.add_argument("--stop-file", default="/tmp/replica_suite.stop",
                    help="graceful shutdown: create this file and the "
                         "sweep stops after the current matrix (never "
@@ -120,6 +128,11 @@ def main() -> int:
                   f"{i}/{len(specs)} matrices", flush=True)
             break
         name = f"{s.name}.mtx"
+        logpath_probe = os.path.join(args.log_dir, f"BSMR_{s.name}.log")
+        if not args.no_skip_existing and os.path.exists(logpath_probe):
+            print(f"[{i+1}/{len(specs)} {s.name}] skip (log exists)",
+                  flush=True)
+            continue
         t0 = time.time()
         csr = make_replica(s)
         A = make_dense(csr.rows, K, seed=1337)
