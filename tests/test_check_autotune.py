@@ -22,7 +22,12 @@ def test_parse_log_attributes_config_arms(tmp_path):
         "# m1 a=0.1 d=0.02 k=128: 90 GFLOPS (1 ms, dense 1, gath 0, "
         "res 0, fill 0.1)\n"
         "# m1 a=0.3 d=0.002 k=128: 95 GFLOPS (1 ms, dense 1, gath 0, "
-        "res 0, fill 0.1)\n")
+        "res 0, fill 0.1)\n"
+        # fp16-emission arm lines carry a ` dt=f16` tag between `k=` and
+        # `:` precisely so this parser skips them (a match would corrupt
+        # the positional counter)
+        "# m1 a=0.3 d=0.002 k=128 dt=f16: 130 GFLOPS (1 ms, dense 1, "
+        "gath 0, res 0, fill 0.1)\n")
     runs = ca.parse_log(str(log))
     g = runs[("m1", 128)]
     # same delta 0.002 appears with sub=0 (1st) and sub=12 (3rd)
