@@ -22,18 +22,24 @@ def main() -> int:
                 else "results/v5e_r3/k32_anomaly_tiers.json")
     gens = dict(SUITE)
     rows = []
-    for name, k, deltas in (("banded_mesh_32k", 32, (0.002, 0.006)),
-                            ("banded_mesh_64k", 128, (0.002, 0.006))):
+    # (matrix, K, [(alpha, delta), ...]) — the pre-outage sweep's two
+    # divergence families: K=32 adjacent-delta 1.8x (banded_32k), and
+    # K=256 alpha=0.3 2.4x slower than alpha=0.1 (banded_64k)
+    for name, k, cases in (
+            ("banded_mesh_32k", 32, [(0.3, 0.002), (0.3, 0.006)]),
+            ("banded_mesh_64k", 128, [(0.3, 0.002), (0.3, 0.006)]),
+            ("banded_mesh_64k", 256, [(0.1, 0.002), (0.3, 0.002),
+                                      (0.3, 0.006)])):
         csr = gens[name]()
         A = make_dense(csr.rows, k, seed=1337)
         B = make_dense(k, csr.cols, seed=1338)
         pipe = BsmrSddmm(csr, SddmmConfig(k=k, panel_height=32,
                                           subpack_min_nnz=0))
-        for d in deltas:
-            log = pipe.benchmark(A, B, alpha=0.3, delta=d,
+        for alpha, d in cases:
+            log = pipe.benchmark(A, B, alpha=alpha, delta=d,
                                  tier_times=True, time_csr_emit=False,
                                  file=name)
-            row = {"matrix": name, "k": k, "delta": d,
+            row = {"matrix": name, "k": k, "alpha": alpha, "delta": d,
                    "total_ms": log.sddmm_ms, "gflops": log.gflops,
                    **{key: log.extras.get(key) for key in
                       ("tier_dense_ms", "tier_packed_ms",
