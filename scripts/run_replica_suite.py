@@ -68,7 +68,9 @@ def main() -> int:
     args = p.parse_args()
 
     from bsmr_sddmm_tpu.formats import save_mtx
-    from bsmr_sddmm_tpu.replicas import make_replica, select_suite
+    from bsmr_sddmm_tpu.replicas import (make_replica,
+                                         make_replica_cached,
+                                         select_suite)
 
     if args.deltas is not None:
         configs = [(d, 12) for d in args.deltas]
@@ -134,10 +136,11 @@ def main() -> int:
                   flush=True)
             continue
         t0 = time.time()
-        csr = make_replica(s)
+        csr = make_replica_cached(s, args.dataset_dir)
         A = make_dense(csr.rows, K, seed=1337)
         B = make_dense(K, csr.cols, seed=1338)
-        base_cfg = SddmmConfig(k=K, panel_height=32, num_iterations=10)
+        base_cfg = SddmmConfig(k=K, panel_height=32, num_iterations=10,
+                               reorder_cache=True)
         pipes = {sub: BsmrSddmm(csr, base_cfg.replace(subpack_min_nnz=sub))
                  for sub in {c[1] for c in configs}}
         pipe0 = next(iter(pipes.values()))

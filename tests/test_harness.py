@@ -517,6 +517,25 @@ def test_replica_manifest_and_generators():
         assert abs(csr.nnz - s.nnz) / s.nnz < 0.25, (s.name, csr.nnz)
 
 
+def test_make_replica_cached_roundtrip(tmp_path):
+    """The npz replica cache returns a bit-identical matrix on the
+    second call (and survives a corrupt entry by regenerating)."""
+    import numpy as np
+    from bsmr_sddmm_tpu.replicas import (load_manifest,
+                                         make_replica_cached)
+    spec = min(load_manifest(), key=lambda s: s.nnz)
+    d = str(tmp_path)
+    first = make_replica_cached(spec, d)
+    again = make_replica_cached(spec, d)   # cache hit
+    np.testing.assert_array_equal(first.row_offsets, again.row_offsets)
+    np.testing.assert_array_equal(first.col_indices, again.col_indices)
+    # corrupt the entry: loader must fall back to regeneration
+    path = tmp_path / f"{spec.name}.npz"
+    path.write_bytes(b"not an npz")
+    rebuilt = make_replica_cached(spec, d)
+    np.testing.assert_array_equal(first.col_indices, rebuilt.col_indices)
+
+
 def test_inprogram_timer_runs_on_cpu():
     """time_rphm_inprogram's fori-wrapped repetition must trace/execute
     (backend-agnostic); on CPU the XLA body runs under interpret-free
