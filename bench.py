@@ -54,6 +54,8 @@ BASELINE_GEOMEAN_GFLOPS = {32: 1851.0, 64: 2601.0, 128: 2927.0,
 
 
 def main() -> int:
+    from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
+    tune_malloc()   # packing is allocation-bound on this host (PERF.md)
     from bsmr_sddmm_tpu.config import SddmmConfig
     from bsmr_sddmm_tpu.datasets import SUITE
     from bsmr_sddmm_tpu.formats import make_dense

@@ -16,6 +16,8 @@ import numpy as np
 
 
 def main() -> int:
+    from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
+    tune_malloc()   # packing is allocation-bound here (PERF.md)
     p = argparse.ArgumentParser()
     p.add_argument("--k", type=int, default=32)
     p.add_argument("--zs", type=int, nargs="*", default=[1, 8])

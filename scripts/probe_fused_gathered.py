@@ -11,6 +11,8 @@ import numpy as np
 
 
 def main() -> int:
+    from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
+    tune_malloc()   # packing is allocation-bound here (PERF.md)
     import jax
     import jax.numpy as jnp
 

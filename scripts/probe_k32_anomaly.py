@@ -13,6 +13,8 @@ import sys
 
 
 def main() -> int:
+    from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
+    tune_malloc()   # packing is allocation-bound here (PERF.md)
     from bsmr_sddmm_tpu.config import SddmmConfig
     from bsmr_sddmm_tpu.datasets import SUITE
     from bsmr_sddmm_tpu.formats import make_dense

@@ -71,6 +71,8 @@ def main() -> int:
     from bsmr_sddmm_tpu.replicas import (make_replica,
                                          make_replica_cached,
                                          select_suite)
+    from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
+    tune_malloc()   # packing is allocation-bound on this host (PERF.md)
 
     if args.deltas is not None:
         configs = [(d, 12) for d in args.deltas]

@@ -13,6 +13,8 @@ import tempfile
 
 
 def main() -> int:
+    from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
+    tune_malloc()   # packing is allocation-bound here (PERF.md)
     import jax
     import numpy as np
 

@@ -517,6 +517,17 @@ def test_replica_manifest_and_generators():
         assert abs(csr.nnz - s.nnz) / s.nnz < 0.25, (s.name, csr.nnz)
 
 
+def test_tune_malloc_applies_on_glibc():
+    """mallopt returns success on this glibc box; allocations still work
+    afterward (the tuning is observable only as throughput, so the
+    falsifiable assertions are the rc and a live large allocation)."""
+    import numpy as np
+    from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
+    assert tune_malloc() is True
+    a = np.full((1024, 32, 128), 7, np.int32)
+    assert int(a[-1, -1, -1]) == 7
+
+
 def test_make_replica_cached_roundtrip(tmp_path):
     """The npz replica cache returns a bit-identical matrix on the
     second call (and survives a corrupt entry by regenerating)."""
