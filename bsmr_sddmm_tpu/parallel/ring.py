@@ -202,6 +202,9 @@ def pack_ring_plans(csr: CSR, reord: BsmrReordering,
     # inverse map into the stacked ring outputs:
     # dense block [(s*n + p)*Td*ph*bw + ...], then residual after all dense
     d_total = n * n * Td * ph * bw
+    assert d_total + n * n * E < np.iinfo(np.int32).max, (
+        "ring rphm layout exceeds int32 indexing — lower n_shards or "
+        "use the all-gather path")
     rphm_to_csr = np.zeros(nnz, np.int32)
     ts = tile_scatter.reshape(-1)
     m = ts < nnz
