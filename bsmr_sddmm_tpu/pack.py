@@ -252,28 +252,131 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     else:
         is_dense = np.zeros(entry_keys.shape[0], dtype=bool)
 
-    # --- dense scatter map ------------------------------------------------
-    T = exec_size(num_tiles0, config.bucket_shapes, config.dense_chunk)
+    # --- dense tile layout: ordering + fat steps BEFORE the map -----------
+    # Host-perf fusion (PERF.md "host pack profile"): the final tile
+    # layout — the (cblock, panel) sort that lets consecutive grid steps
+    # reuse the resident B block, plus fat-step run padding — is computed
+    # on per-TILE arrays first, so entries scatter directly into their
+    # final slots. The previous version built the (T, ph, bw) map in
+    # original order and then reordered/re-padded it twice: three full
+    # passes + two sentinel fills over a ~0.4 GB map at low delta.
+    mode = config.col_mode
+    if num_tiles0:
+        tile_panel0 = np.repeat(np.arange(num_panels, dtype=np.int32),
+                                np.diff(dco) // bw)
+        # clip sentinel pad columns for gather safety; their scatter slots
+        # stay at the trash index so the garbage never lands
+        tile_cols0 = np.minimum(dense_cols.reshape(num_tiles0, bw),
+                                N - 1).astype(np.int32)
+    else:
+        tile_panel0 = np.zeros(0, np.int32)
+        tile_cols0 = np.zeros((0, bw), np.int32)
+    fat_group = 1
+    step_cblock = None
+    tile_cblock = None
+    if mode == "bsr":
+        cblock0 = (tile_cols0[:, 0] // bw).astype(np.int32)
+        # sort tiles by (cblock, panel): consecutive grid steps with the
+        # same cblock then reuse the resident B block (the Pallas pipeline
+        # skips the DMA when the block index repeats), so B streams
+        # HBM->VMEM approximately once per touched column block instead of
+        # once per tile — measured ~5x on the dense path
+        order = (np.lexsort((tile_panel0, cblock0))
+                 if num_tiles0 > 1 else
+                 np.arange(num_tiles0, dtype=np.int64))
+        cb_sorted = cblock0[order]
+        # fat steps: fuse G same-cblock tiles per grid step (one B DMA,
+        # one (G*ph, bw) MXU matmul) to amortize the ~100 ns/step pipeline
+        # overhead. Each same-cblock run pads to a G multiple; G adapts to
+        # the run structure so padding stays small.
+        want_fat = (fat_group_override if fat_group_override is not None
+                    else config.dense_fat_group)
+        G = 1
+        if want_fat > 1 and num_tiles0:
+            run_starts = np.nonzero(np.diff(cb_sorted, prepend=-1))[0]
+            run_lens = np.diff(np.append(run_starts, num_tiles0))
+            if fat_group_override is not None:
+                # shard packs force one G across shards (the fat layout is
+                # a compile-time static of the shared shard_map body)
+                G = fat_group_override
+            else:
+                # choose G by minimizing padded tiles x per-tile cost:
+                # fatter steps amortize the ~210 ns/step pipeline overhead
+                # (measured v5e: 78/67/58 ns/tile at G=8/16/32 on full
+                # runs) but pad each same-cblock run up to a G multiple
+                best_score = None
+                g_cand = 1
+                while g_cand <= want_fat:
+                    padded = int((-(-run_lens // g_cand) * g_cand).sum())
+                    score = padded * (52.0 + 208.0 / g_cand)
+                    if best_score is None or score < best_score:
+                        best_score, G = score, g_cand
+                    g_cand *= 2
+        if G > 1:
+            padded_lens = -(-run_lens // G) * G
+            T_flat0 = int(padded_lens.sum())
+            n_steps = exec_size(T_flat0 // G, config.bucket_shapes,
+                                config.dense_chunk)
+            T = n_steps * G
+            run_dst = np.zeros(run_starts.shape[0], np.int64)
+            np.cumsum(padded_lens[:-1], out=run_dst[1:])
+            dst = _concat_ranges(run_dst, run_lens)
+            tile_cblock = np.zeros(T, np.int32)
+            tile_cblock[:T_flat0] = np.repeat(cb_sorted[run_starts],
+                                              padded_lens)
+            tile_panel = np.zeros(T, np.int32)
+            tile_panel[dst] = tile_panel0[order]
+            # pad tiles read their run's (or block 0's) columns; their
+            # scatter slots are trash so the values never land
+            tile_cols = np.minimum(
+                tile_cblock[:, None].astype(np.int64) * bw
+                + np.arange(bw), N - 1).astype(np.int32)
+            tile_cols[dst] = tile_cols0[order]
+            step_cblock = tile_cblock.reshape(n_steps, G)[:, 0].copy()
+            fat_group = G
+            final_of_sorted = dst
+        else:
+            T = exec_size(num_tiles0, config.bucket_shapes,
+                          config.dense_chunk)
+            tile_panel = np.zeros(T, np.int32)
+            tile_panel[:num_tiles0] = tile_panel0[order]
+            tile_cols = np.zeros((T, bw), np.int32)
+            tile_cols[:num_tiles0] = tile_cols0[order]
+            tile_cblock = np.zeros(T, np.int32)
+            tile_cblock[:num_tiles0] = cb_sorted
+            final_of_sorted = np.arange(num_tiles0, dtype=np.int64)
+        final_of_orig = np.empty(num_tiles0, np.int64)
+        final_of_orig[order] = final_of_sorted
+    else:
+        T = exec_size(num_tiles0, config.bucket_shapes, config.dense_chunk)
+        tile_panel = np.zeros(T, dtype=np.int32)
+        tile_panel[:num_tiles0] = tile_panel0
+        tile_cols = np.zeros((T, bw), dtype=np.int32)
+        tile_cols[:num_tiles0] = tile_cols0
+        final_of_orig = np.arange(num_tiles0, dtype=np.int64)
+
+    # --- dense scatter map + inverse map, one pass -------------------------
+    # rphm_to_csr (rphm layout -> CSR order) is built tier by tier from
+    # each entry's destination slot as it scatters; the executed layout is
+    # [dense BSR tiles | packed sub-block tiles | gathered tiles |
+    # residual]. (The previous version re-derived it afterwards by
+    # scanning every slot of every padded map — three more full passes.)
+    assert T * ph * bw < np.iinfo(np.int32).max
+    rphm_to_csr = np.zeros(nnz, dtype=np.int32)
     tile_scatter = np.full((T, ph, bw), nnz, dtype=np.int32)
     if is_dense.any():
         hit_positions = dense_sort[pos_clipped[is_dense]]  # into dense_cols
         hit_panels = panel_of_entry[is_dense]
         within_panel = hit_positions - dco[hit_panels]
-        tile_of_hit = (dco[hit_panels] // bw) + within_panel // bw
+        tile_of_hit = final_of_orig[(dco[hit_panels] // bw)
+                                    + within_panel // bw]
         local_col = within_panel % bw
         local_row = pos_in_perm[is_dense] % ph
+        e_dense = entry_idx[is_dense]
         tile_scatter[tile_of_hit, local_row, local_col] = \
-            entry_idx[is_dense].astype(np.int32)
-
-    tile_panel = np.zeros(T, dtype=np.int32)
-    tile_cols = np.zeros((T, bw), dtype=np.int32)
-    if num_tiles0:
-        tile_panel[:num_tiles0] = np.repeat(
-            np.arange(num_panels, dtype=np.int32), np.diff(dco) // bw)
-        # clip sentinel pad columns for gather safety; their scatter slots
-        # stay at the trash index so the garbage never lands
-        tile_cols[:num_tiles0] = np.minimum(
-            dense_cols.reshape(num_tiles0, bw), N - 1).astype(np.int32)
+            e_dense.astype(np.int32)
+        rphm_to_csr[e_dense] = (tile_of_hit * (ph * bw) + local_row * bw
+                                + local_col).astype(np.int32)
 
     # --- residual: gathered tiles + per-nnz tail ---------------------------
     # Residual entries are split a second time (reference has no analogue;
@@ -384,11 +487,17 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
             slot_of_uq = np.zeros(uq_key.shape[0], np.int64)
             tile_of_uq[qual] = tile_of_q
             slot_of_uq[qual] = slot_of_q
+            assert (T + Tp) * ph * bw < np.iinfo(np.int32).max
             sp_scatter = np.full((Tp, ph, bw), nnz, np.int32)
             pe = in_packed_s
+            _sp_slot = (tile_of_uq[ent_uq[pe]] * (ph * bw)
+                        + r_lrow[pe] * bw
+                        + slot_of_uq[ent_uq[pe]] * sw + e_pos[pe] % sw)
             sp_scatter[tile_of_uq[ent_uq[pe]], r_lrow[pe],
                        slot_of_uq[ent_uq[pe]] * sw + e_pos[pe] % sw] = \
                 r_csr[pe].astype(np.int32)
+            rphm_to_csr[r_csr[pe]] = \
+                (T * (ph * bw) + _sp_slot).astype(np.int32)
             # remaining residual entries flow to the gathered/per-nnz
             # tiers below
             keep = ~pe
@@ -461,13 +570,26 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         kept_chunks = np.nonzero(keep_chunk)[0]
         num_gathered0 = kept_chunks.shape[0]
         if num_gathered0:
-            # global gathered-tile id per kept chunk
+            # global gathered-tile id per kept chunk. Window ordering is
+            # folded in here (tiles sorted by B window) so the map never
+            # needs a post-scatter reorder; the group ranges are derived
+            # from the same sorted keys below.
             tile_of_chunk = np.full(keep_chunk.shape[0], -1, np.int64)
-            tile_of_chunk[kept_chunks] = np.arange(num_gathered0)
+            first_col = np.minimum(uq_col[cpos[kept_chunks]], N - 1)
+            if window_rows:
+                _g_grp = first_col // window_rows
+                _g_worder = np.argsort(_g_grp, kind="stable")
+                _g_rank = np.empty(num_gathered0, np.int64)
+                _g_rank[_g_worder] = np.arange(num_gathered0)
+                tile_of_chunk[kept_chunks] = _g_rank
+                _g_grp_sorted = _g_grp[_g_worder]
+            else:
+                tile_of_chunk[kept_chunks] = np.arange(num_gathered0)
             Tg = exec_size(num_gathered0, config.bucket_shapes,
                            config.dense_chunk)
             g_panel = np.zeros(Tg, np.int32)
-            g_panel[:num_gathered0] = uq_panel[cpos[kept_chunks]]
+            g_panel[tile_of_chunk[kept_chunks]] = \
+                uq_panel[cpos[kept_chunks]].astype(np.int32)
             g_cols_full = np.full((Tg, bw), -1, np.int32)
             g_scatter = np.full((Tg, ph, bw), nnz, dtype=np.int32)
             # local col slot within the chunk
@@ -493,8 +615,14 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
             in_gathered = ent_kept
             tgt_tile = tile_of_chunk[col_chunk[ent_uqidx[ent_kept]]]
             tgt_slot = local_slot[ent_uqidx[ent_kept]]
+            assert (T + sp_scatter.shape[0] + Tg) * ph * bw \
+                < np.iinfo(np.int32).max
             g_scatter[tgt_tile, r_lrow[ent_kept], tgt_slot] = \
                 r_csr[ent_kept].astype(np.int32)
+            rphm_to_csr[r_csr[ent_kept]] = (
+                (T + sp_scatter.shape[0]) * (ph * bw)
+                + tgt_tile * (ph * bw) + r_lrow[ent_kept] * bw
+                + tgt_slot).astype(np.int32)
         else:
             g_cols = np.zeros((0, bw), np.int32)
             g_scatter = np.zeros((0, ph, bw), np.int32)
@@ -539,17 +667,15 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
             a_window_rows = awr
 
     if window_rows and num_gathered0:
-        grp = g_cols[:num_gathered0, 0].astype(np.int64) // window_rows
-        order = np.argsort(grp, kind="stable")
-        gsorted = grp[order]
+        # tiles were built window-sorted in the gathered section (the
+        # ordering is folded into tile_of_chunk), so only the static
+        # group ranges remain to derive here — no map reorder
+        gsorted = _g_grp_sorted
         starts = np.nonzero(np.diff(gsorted, prepend=-1))[0]
         ends = np.append(starts[1:], num_gathered0)
         g_groups = [(int(min(g * window_rows, N - window_rows)),
                      int(s), int(e))
                     for g, s, e in zip(gsorted[starts], starts, ends)]
-        g_panel[:num_gathered0] = g_panel[:num_gathered0][order]
-        g_cols[:num_gathered0] = g_cols[:num_gathered0][order]
-        g_scatter[:num_gathered0] = g_scatter[:num_gathered0][order]
 
     if (window_rows or a_window_rows) and num_residual0:
         a_grp = (res_arow[:num_residual0].astype(np.int64) // a_window_rows
@@ -582,111 +708,19 @@ def pack_tiles(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         res_col[:num_residual0] = res_col[:num_residual0][order]
         res_out[:num_residual0] = res_out[:num_residual0][order]
 
+    if num_residual0:
+        # residual inverse-map entries (written after the window reorder
+        # above fixes final positions)
+        _res_base = (tile_scatter.shape[0] + sp_scatter.shape[0]
+                     + g_scatter.shape[0]) * (ph * bw)
+        assert _res_base + E < np.iinfo(np.int32).max
+        rphm_to_csr[res_out[:num_residual0]] = (
+            _res_base + np.arange(num_residual0)).astype(np.int32)
+
     # --- padded row permutation --------------------------------------------
     row_perm_padded = np.zeros(num_panels * ph, dtype=np.int32)
     row_perm_padded[:R] = perm
 
-
-    # bsr mode: tiles are block-aligned, so the whole B read for tile t is
-    # the contiguous slice Bt[cblock*bw : (cblock+1)*bw]. Sort tiles by
-    # (cblock, panel): consecutive grid steps with the same cblock then
-    # reuse the resident B block (the Pallas pipeline skips the DMA when
-    # the block index repeats), so B streams HBM->VMEM approximately once
-    # per touched column block instead of once per tile — measured ~5x on
-    # the dense path.
-    mode = config.col_mode
-    tile_cblock = None
-    fat_group = 1
-    step_cblock = None
-    if mode == "bsr":
-        tile_cblock = (tile_cols[:, 0] // bw).astype(np.int32)
-        if num_tiles0 > 1:
-            order = np.lexsort((tile_panel[:num_tiles0],
-                                tile_cblock[:num_tiles0]))
-            tile_panel[:num_tiles0] = tile_panel[:num_tiles0][order]
-            tile_cols[:num_tiles0] = tile_cols[:num_tiles0][order]
-            tile_cblock[:num_tiles0] = tile_cblock[:num_tiles0][order]
-            tile_scatter[:num_tiles0] = tile_scatter[:num_tiles0][order]
-
-    # fat steps: fuse G same-cblock tiles per grid step (one B DMA, one
-    # (G*ph, bw) MXU matmul) to amortize the ~100 ns/step pipeline
-    # overhead. Each same-cblock run pads to a G multiple; G adapts to the
-    # median run so padding stays small.
-    want_fat = (fat_group_override if fat_group_override is not None
-                else config.dense_fat_group)
-    if mode == "bsr" and want_fat > 1 and num_tiles0:
-        cb = tile_cblock[:num_tiles0]
-        run_starts = np.nonzero(np.diff(cb, prepend=-1))[0]
-        run_lens = np.diff(np.append(run_starts, num_tiles0))
-        if fat_group_override is not None:
-            # shard packs force one G across shards (the fat layout is a
-            # compile-time static of the shared shard_map body)
-            G = fat_group_override
-        else:
-            # choose G by minimizing padded tiles x per-tile cost: fatter
-            # steps amortize the ~210 ns/step pipeline overhead (measured
-            # v5e: 78/67/58 ns/tile at G=8/16/32 on full runs) but pad
-            # each same-cblock run up to a G multiple
-            best_score = None
-            G = 1
-            g_cand = 1
-            while g_cand <= want_fat:
-                padded = int((-(-run_lens // g_cand) * g_cand).sum())
-                score = padded * (52.0 + 208.0 / g_cand)
-                if best_score is None or score < best_score:
-                    best_score, G = score, g_cand
-                g_cand *= 2
-        if G > 1:
-            padded_lens = -(-run_lens // G) * G
-            T_flat0 = int(padded_lens.sum())
-            n_steps = exec_size(T_flat0 // G, config.bucket_shapes,
-                                config.dense_chunk)
-            T_flat = n_steps * G
-            run_dst = np.zeros(run_starts.shape[0], np.int64)
-            np.cumsum(padded_lens[:-1], out=run_dst[1:])
-            dst = _concat_ranges(run_dst, run_lens)
-            new_cb = np.zeros(T_flat, np.int32)
-            new_cb[:T_flat0] = np.repeat(cb[run_starts], padded_lens)
-            new_tp = np.zeros(T_flat, np.int32)
-            new_tp[dst] = tile_panel[:num_tiles0]
-            # pad tiles read their run's (or block 0's) columns; their
-            # scatter slots are trash so the values never land
-            new_tc = np.minimum(new_cb[:, None].astype(np.int64) * bw
-                                + np.arange(bw), N - 1).astype(np.int32)
-            new_tc[dst] = tile_cols[:num_tiles0]
-            new_ts = np.full((T_flat, ph, bw), nnz, np.int32)
-            new_ts[dst] = tile_scatter[:num_tiles0]
-            tile_panel, tile_cols = new_tp, new_tc
-            tile_cblock, tile_scatter = new_cb, new_ts
-            step_cblock = new_cb.reshape(n_steps, G)[:, 0].copy()
-            fat_group = G
-
-    # --- inverse scatter map (rphm layout -> CSR order) --------------------
-    # executed layout: [dense BSR tiles | packed sub-block tiles |
-    #                   gathered tiles | residual]
-    T_pad = tile_scatter.shape[0]
-    Tp_pad = sp_scatter.shape[0] if sp_scatter.size else 0
-    Tg_pad = g_scatter.shape[0]
-    n_dense_slots = (T_pad + Tp_pad) * ph * bw
-    n_gath_slots = Tg_pad * ph * bw
-    total_slots = n_dense_slots + n_gath_slots + res_out.shape[0]
-    assert total_slots < np.iinfo(np.int32).max
-    rphm_to_csr = np.zeros(nnz, dtype=np.int32)
-    ts_flat = tile_scatter.reshape(-1)
-    m = ts_flat < nnz
-    rphm_to_csr[ts_flat[m]] = np.nonzero(m)[0].astype(np.int32)
-    if Tp_pad:
-        sp_flat = sp_scatter.reshape(-1)
-        m = sp_flat < nnz
-        rphm_to_csr[sp_flat[m]] = (np.nonzero(m)[0]
-                                   + T_pad * ph * bw).astype(np.int32)
-    gs_flat = g_scatter.reshape(-1)
-    m = gs_flat < nnz
-    rphm_to_csr[gs_flat[m]] = (np.nonzero(m)[0]
-                               + n_dense_slots).astype(np.int32)
-    m = res_out < nnz
-    rphm_to_csr[res_out[m]] = (np.nonzero(m)[0] + n_dense_slots
-                               + n_gath_slots).astype(np.int32)
 
     plan = TilePlan(
         rows=csr.rows, cols=N, nnz=nnz, k=k,
