@@ -227,3 +227,59 @@ def test_window_group_cap_bounds_op_count():
         jnp.zeros((N, 128), jnp.float32), dplan)
     n_eqns = len(jaxpr.jaxpr.eqns)
     assert n_eqns < 2000, f"body traced to {n_eqns} eqns"
+
+
+def _scan_rphm_to_csr(plan):
+    """Slot-scan derivation of the inverse map (the pre-fusion
+    implementation of pack_tiles' final pass, kept as the test oracle):
+    enumerate every slot of the executed layout [dense | packed |
+    gathered | residual] and record each real CSR index's offset."""
+    nnz = plan.nnz
+    ph, bw = plan.panel_height, plan.block_width
+    T_pad = plan.tile_scatter.shape[0]
+    Tp_pad = plan.sp_scatter.shape[0] if plan.sp_scatter is not None \
+        and plan.sp_scatter.size else 0
+    n_dense = (T_pad + Tp_pad) * ph * bw
+    n_gath = plan.g_scatter.shape[0] * ph * bw
+    out = np.zeros(nnz, np.int32)
+    ts = plan.tile_scatter.reshape(-1)
+    m = ts < nnz
+    out[ts[m]] = np.nonzero(m)[0].astype(np.int32)
+    if Tp_pad:
+        sp = plan.sp_scatter.reshape(-1)
+        m = sp < nnz
+        out[sp[m]] = (np.nonzero(m)[0] + T_pad * ph * bw).astype(np.int32)
+    gs = plan.g_scatter.reshape(-1)
+    m = gs < nnz
+    out[gs[m]] = (np.nonzero(m)[0] + n_dense).astype(np.int32)
+    m = plan.res_out < nnz
+    out[plan.res_out[m]] = (np.nonzero(m)[0] + n_dense
+                            + n_gath).astype(np.int32)
+    return out
+
+
+@pytest.mark.parametrize("mode", ["bsr", "reorder"])
+@pytest.mark.parametrize("delta", [0.0, 0.1, 1.1])
+def test_rphm_to_csr_matches_slot_scan(small_mask, delta, mode):
+    """pack_tiles builds rphm_to_csr incrementally from each entry's
+    destination as it scatters; it must equal the slot-scan derivation
+    for every tier mix (dense/packed/gathered/residual)."""
+    cfg = SddmmConfig(row_strategy="fast", panel_height=16, delta=delta,
+                      col_mode=mode, subpack_min_nnz=8)
+    _, plan = _plan(small_mask, cfg)
+    np.testing.assert_array_equal(plan.rphm_to_csr,
+                                  _scan_rphm_to_csr(plan))
+
+
+def test_rphm_to_csr_matches_slot_scan_windowed():
+    """Same invariant with B gather windows forced on (gathered tiles
+    and residual entries are window-sorted before slots are final)."""
+    wide = random_mask(rows=512, cols=6000, nnz=30000, seed=9,
+                       block_rows=24, block_cols=96)
+    cfg = SddmmConfig(row_strategy="fast", panel_height=16, delta=0.1,
+                      k=256, gather_window_mb=1,
+                      gather_window_threshold_mb=0)
+    _, plan = _plan(wide, cfg)
+    assert plan.window_rows is not None
+    np.testing.assert_array_equal(plan.rphm_to_csr,
+                                  _scan_rphm_to_csr(plan))
