@@ -15,9 +15,13 @@ Peak per-device B memory is 2 panels (current + in-flight) instead of
 the all-gather path's full N*K — the memory-scalable layout for large B.
 
 Packing: each (row-panel shard, B panel) pair gets a static-shaped tile
-group. Tiers are dense BSR tiles + per-nnz residual; the packed/gathered
-tiers are cblock-unaligned or window-impure in general and stay on the
-single-program paths (a plan whose autotuned split leans on them should
+group. Tiers are dense BSR tiles + panel-local GATHERED tiles + per-nnz
+residual: a gathered tile's columns all live in one B panel, so its row
+gather reads the resident (w, K) panel — the single-chip gathered tier
+re-created per ring step (community masks would otherwise fall entirely
+to the per-nnz descriptor wall on multi-chip). The packed (hot-column)
+tier needs a global column permutation of B and stays on the
+single-program paths (a plan whose autotuned split leans on it should
 prefer the all-gather layout — the cost model's call).
 """
 
@@ -63,12 +67,17 @@ class RingPlan:
     block_width: int
     panels_per_shard: int       # P_l: row panels per shard (padded common)
     tiles_per_group: int        # Td
+    tiles_g_per_group: int      # Tg (0 = gathered tier off)
     res_per_group: int          # E
+    num_gathered: int           # total real gathered tiles across groups
 
     row_perm: np.ndarray        # (n, P_l * ph) int32 (pad: 0)
     tile_rpanel: np.ndarray     # (n, n, Td) int32 local row panel
     tile_cb: np.ndarray         # (n, n, Td) int32 cblock LOCAL to panel
     tile_scatter: np.ndarray    # (n, n, Td, ph, bw) int32 into [0, nnz]
+    g_rpanel: np.ndarray        # (n, n, Tg) int32 local row panel
+    g_cols_l: np.ndarray        # (n, n, Tg, bw) int32 cols LOCAL to panel
+    g_scatter: np.ndarray       # (n, n, Tg, ph, bw) int32 into [0, nnz]
     res_arow: np.ndarray        # (n, n, E) int32 local permuted A row
     res_col: np.ndarray         # (n, n, E) int32 col LOCAL to panel
     res_out: np.ndarray         # (n, n, E) int32 into [0, nnz]
@@ -110,7 +119,7 @@ def pack_ring_plans(csr: CSR, reord: BsmrReordering,
     P_l = max(int((bounds[1:] - bounds[:-1]).max()), 1)
 
     shards = []
-    Td_max, E_max = 1, 1
+    Td_max, E_max, Tg_max = 1, 1, 0
     for s in range(n):
         p0, p1 = int(bounds[s]), int(bounds[s + 1])
         rows = perm[p0 * ph: min(p1 * ph, R)]
@@ -146,20 +155,106 @@ def pack_ring_plans(csr: CSR, reord: BsmrReordering,
             [[0], np.cumsum(grp_counts)])[q_bp]
         qual_ids = np.nonzero(qual)[0][t_order]
         tile_of_uq[qual_ids] = q_bp * (1 << 32) + within  # packed (bp, id)
-        res_counts = np.bincount(bpanel[~is_dense], minlength=n)
+        # gathered tier: residual (rpanel, col) pairs chunked bw-wide per
+        # (B panel, rpanel), count-descending — the single-chip gathered
+        # tier per ring step. A chunk qualifies when it covers at least
+        # residual_tile_min_nnz nonzeros; the rest stays per-nnz.
+        res_m = ~is_dense
+        in_g = np.zeros(pos.shape[0], dtype=bool)
+        g_bp_e = np.zeros(pos.shape[0], np.int64)
+        g_tile_e = np.zeros(pos.shape[0], np.int64)
+        g_slot_e = np.zeros(pos.shape[0], np.int64)
+        g_meta = {}   # bpanel -> (rpanel_per_tile, cols_per_tile (Tg,bw))
+        if config.residual_mode == "gathered" and res_m.any():
+            ridx = np.nonzero(res_m)[0]
+            key = rpanel[ridx] * np.int64(N + 1) + cols[ridx]
+            korder = np.argsort(key, kind="stable")
+            ks2 = key[korder]
+            upos = np.nonzero(np.diff(ks2, prepend=-1))[0]
+            ukey = ks2[upos]                      # ascending
+            ucnt = np.diff(np.append(upos, ks2.shape[0]))
+            u_rp = ukey // np.int64(N + 1)
+            u_col = ukey % np.int64(N + 1)
+            u_bp = u_col // w
+            # (bpanel, rpanel, count desc, col) order, chunked bw-wide
+            # within each (bpanel, rpanel) segment
+            uorder = np.lexsort((u_col, -ucnt, u_rp, u_bp))
+            s_rp, s_col, s_bp = u_rp[uorder], u_col[uorder], u_bp[uorder]
+            s_cnt = ucnt[uorder]
+            U = uorder.shape[0]
+            seg = s_bp * np.int64(P_l + 1) + s_rp
+            seg_starts = np.nonzero(np.diff(seg, prepend=-1))[0]
+            seg_of = np.searchsorted(seg_starts, np.arange(U),
+                                     side="right") - 1
+            within = np.arange(U) - seg_starts[seg_of]
+            chunk_of = within // bw
+            slot_of = within % bw
+            ckey = seg_of.astype(np.int64) * np.int64(U + 1) + chunk_of
+            cpos = np.nonzero(np.diff(ckey, prepend=-1))[0]
+            chunk_nnz = np.add.reduceat(s_cnt, cpos)
+            keep_chunk = chunk_nnz >= config.residual_tile_min_nnz
+            col_chunk = np.searchsorted(cpos, np.arange(U),
+                                        side="right") - 1
+            if keep_chunk.any():
+                kept = np.nonzero(keep_chunk)[0]
+                bp_of_chunk = s_bp[cpos]
+                # tile id within its bpanel group (stable order)
+                tile_of_chunk = np.full(keep_chunk.shape[0], -1, np.int64)
+                kept_bp = bp_of_chunk[kept]
+                gcounts = np.bincount(kept_bp, minlength=n)
+                gbase = np.zeros(n, np.int64)
+                np.cumsum(gcounts[:-1], out=gbase[1:])
+                tile_of_chunk[kept] = (np.arange(kept.shape[0])
+                                       - gbase[kept_bp]
+                                       + 0)  # within-group via stable enum
+                # stable enumeration within group: kept is ascending and
+                # chunks of one bpanel are contiguous in (bp, rp, ...)
+                # order, so arange - base(group) is the within-group id
+                Tg_max = max(Tg_max, int(gcounts.max()))
+                # per (bpanel) tile metadata in group-local order
+                for p in np.nonzero(gcounts)[0]:
+                    sel = kept[kept_bp == p]
+                    rp_t = s_rp[cpos[sel]].astype(np.int32)
+                    cols_t = np.zeros((sel.shape[0], bw), np.int32)
+                    for j, c in enumerate(sel):
+                        lo = cpos[c]
+                        hi = cpos[c + 1] if c + 1 < cpos.shape[0] else U
+                        cc = (s_col[lo:hi] - p * w).astype(np.int32)
+                        cols_t[j, :cc.shape[0]] = cc
+                        cols_t[j, cc.shape[0]:] = cc[0] if cc.size else 0
+                    g_meta[int(p)] = (rp_t, cols_t)
+                # route entries through their unique col's chunk
+                inv_uorder = np.empty(U, np.int64)
+                inv_uorder[uorder] = np.arange(U)
+                ent_u = inv_uorder[np.searchsorted(ukey, key)]
+                ent_chunk = col_chunk[ent_u]
+                ent_kept = keep_chunk[ent_chunk]
+                gsel = ridx[ent_kept]
+                in_g[gsel] = True
+                g_bp_e[gsel] = s_bp[ent_u[ent_kept]]
+                g_tile_e[gsel] = tile_of_chunk[ent_chunk[ent_kept]]
+                g_slot_e[gsel] = slot_of[ent_u[ent_kept]]
+        res_counts = np.bincount(bpanel[res_m & ~in_g], minlength=n)
         E_max = max(E_max, int(res_counts.max()) if res_counts.size else 0)
         shards.append(dict(
             rows=rows, eidx=eidx, cols=cols, rpanel=rpanel, lrow=lrow,
             cblock=cblock, bpanel=bpanel, is_dense=is_dense,
             ent_uq=ent_uq, tile_of_uq=tile_of_uq,
-            q_rp=q_rp, q_cb=q_cb, q_bp=q_bp, grp_counts=grp_counts))
+            q_rp=q_rp, q_cb=q_cb, q_bp=q_bp, grp_counts=grp_counts,
+            in_g=in_g, g_bp_e=g_bp_e, g_tile_e=g_tile_e,
+            g_slot_e=g_slot_e, g_meta=g_meta))
 
     Td = max(Td_max, 1)
     E = max(E_max, 1)
+    Tg = Tg_max   # 0 = gathered tier absent (static, drops its compute)
     row_perm_arr = np.zeros((n, P_l * ph), np.int32)
     tile_rpanel = np.zeros((n, n, Td), np.int32)
     tile_cb = np.zeros((n, n, Td), np.int32)
     tile_scatter = np.full((n, n, Td, ph, bw), nnz, np.int32)
+    g_rpanel = np.zeros((n, n, Tg), np.int32)
+    g_cols_l = np.zeros((n, n, Tg, bw), np.int32)
+    g_scatter = np.full((n, n, Tg, ph, bw), nnz, np.int32)
+    num_gathered = 0
     res_arow = np.zeros((n, n, E), np.int32)
     res_col = np.zeros((n, n, E), np.int32)
     res_out = np.full((n, n, E), nnz, np.int32)
@@ -180,8 +275,18 @@ def pack_ring_plans(csr: CSR, reord: BsmrReordering,
         tid_of_e = (packed & ((1 << 32) - 1)).astype(np.int64)
         tile_scatter[s, bp_of_e, tid_of_e, sh["lrow"][de],
                      sh["cols"][de] % bw] = sh["eidx"][de]
+        # gathered tiles: per-(bpanel) metadata + entry scatter
+        for p, (rp_t, cols_t) in sh["g_meta"].items():
+            cnt = rp_t.shape[0]
+            num_gathered += cnt
+            g_rpanel[s, p, :cnt] = rp_t
+            g_cols_l[s, p, :cnt] = cols_t
+        ge = sh["in_g"]
+        if ge.any():
+            g_scatter[s, sh["g_bp_e"][ge], sh["g_tile_e"][ge],
+                      sh["lrow"][ge], sh["g_slot_e"][ge]] = sh["eidx"][ge]
         # residual entries grouped by b panel
-        re_m = ~de
+        re_m = ~de & ~ge
         rbp = sh["bpanel"][re_m]
         order = np.argsort(rbp, kind="stable")
         rbp_s = rbp[order]
@@ -200,25 +305,33 @@ def pack_ring_plans(csr: CSR, reord: BsmrReordering,
             res_out[s, p, :cnt] = r_idx[s0:e0]
 
     # inverse map into the stacked ring outputs:
-    # dense block [(s*n + p)*Td*ph*bw + ...], then residual after all dense
+    # [dense (s*n + p)*Td*ph*bw + ... | gathered | residual]
     d_total = n * n * Td * ph * bw
-    assert d_total + n * n * E < np.iinfo(np.int32).max, (
+    g_total = n * n * Tg * ph * bw
+    assert d_total + g_total + n * n * E < np.iinfo(np.int32).max, (
         "ring rphm layout exceeds int32 indexing — lower n_shards or "
         "use the all-gather path")
     rphm_to_csr = np.zeros(nnz, np.int32)
     ts = tile_scatter.reshape(-1)
     m = ts < nnz
     rphm_to_csr[ts[m]] = np.nonzero(m)[0].astype(np.int32)
+    if Tg:
+        gs = g_scatter.reshape(-1)
+        m = gs < nnz
+        rphm_to_csr[gs[m]] = (np.nonzero(m)[0] + d_total).astype(np.int32)
     ro = res_out.reshape(-1)
     m = ro < nnz
-    rphm_to_csr[ro[m]] = (np.nonzero(m)[0] + d_total).astype(np.int32)
+    rphm_to_csr[ro[m]] = (np.nonzero(m)[0] + d_total
+                          + g_total).astype(np.int32)
 
     return RingPlan(
         n=n, rows=csr.rows, cols=N, w=w, nnz=nnz, k=k,
         panel_height=ph, block_width=bw, panels_per_shard=P_l,
-        tiles_per_group=Td, res_per_group=E,
+        tiles_per_group=Td, tiles_g_per_group=Tg, res_per_group=E,
+        num_gathered=num_gathered,
         row_perm=row_perm_arr, tile_rpanel=tile_rpanel, tile_cb=tile_cb,
-        tile_scatter=tile_scatter, res_arow=res_arow, res_col=res_col,
+        tile_scatter=tile_scatter, g_rpanel=g_rpanel, g_cols_l=g_cols_l,
+        g_scatter=g_scatter, res_arow=res_arow, res_col=res_col,
         res_out=res_out, rphm_to_csr=rphm_to_csr)
 
 
@@ -252,8 +365,10 @@ def make_ring_sddmm(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     nnz = plan.nnz
     perm_pairs = [((j + 1) % n, j) for j in range(n)]   # receive from right
 
-    def shard_body(A, B_local, row_perm, tile_rp, tile_cb, res_ar,
-                   res_cl):
+    Tg = plan.tiles_g_per_group
+
+    def shard_body(A, B_local, row_perm, tile_rp, tile_cb, g_rp_a,
+                   g_cl_a, res_ar, res_cl):
         # per-device shapes: B_local (1*w, K) -> (w, K); groups (1, n, ...)
         B_cur = B_local.reshape(w, kk)
         A_perm = jnp.take(A.astype(jnp.float32),
@@ -262,9 +377,12 @@ def make_ring_sddmm(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         dev = jax.lax.axis_index(AXIS)
         dense_out = jnp.zeros((n, plan.tiles_per_group, ph, bw),
                               jnp.float32)
+        g_out = jnp.zeros((n, Tg, ph, bw), jnp.float32)
         res_vals = jnp.zeros((n, plan.res_per_group), jnp.float32)
         tile_rp = tile_rp.reshape(n, plan.tiles_per_group)
         tile_cb = tile_cb.reshape(n, plan.tiles_per_group)
+        g_rp_a = g_rp_a.reshape(n, max(Tg, 1))
+        g_cl_a = g_cl_a.reshape(n, max(Tg, 1), bw)
         res_ar = res_ar.reshape(n, plan.res_per_group)
         res_cl = res_cl.reshape(n, plan.res_per_group)
         for i in range(n):
@@ -279,6 +397,17 @@ def make_ring_sddmm(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
                 precision=precision,
                 preferred_element_type=jnp.float32)
             dense_out = dense_out.at[p].set(part)
+            if Tg:   # gathered tier: panel-local row gather + matmul
+                gcl = jnp.take(g_cl_a, p, axis=0)         # (Tg, bw)
+                gb = jnp.take(B_cur, gcl.reshape(-1),
+                              axis=0).reshape(Tg, bw, kk)
+                ga = jnp.take(A_panels, jnp.take(g_rp_a, p, axis=0),
+                              axis=0)                     # (Tg, ph, K)
+                gpart = jax.lax.dot_general(
+                    ga, gb, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    precision=precision,
+                    preferred_element_type=jnp.float32)
+                g_out = g_out.at[p].set(gpart)
             ar = jnp.take(res_ar, p, axis=0)
             cl = jnp.take(res_cl, p, axis=0)
             av = jnp.take(A_perm, ar, axis=0)             # (E, K)
@@ -286,13 +415,13 @@ def make_ring_sddmm(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
             res_vals = res_vals.at[p].set(jnp.sum(av * bv, axis=-1))
             if i < n - 1:
                 B_cur = jax.lax.ppermute(B_cur, AXIS, perm=perm_pairs)
-        return dense_out, res_vals
+        return dense_out, g_out, res_vals
 
     mapped = jax.shard_map(
         shard_body, mesh=mesh,
         in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                  P(AXIS)),
-        out_specs=(P(AXIS), P(AXIS)),
+                  P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS), P(AXIS)),
     )
 
     dev_arrays = tuple(
@@ -300,6 +429,14 @@ def make_ring_sddmm(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
         for a in (plan.row_perm,
                   plan.tile_rpanel.reshape(n, -1),
                   plan.tile_cb.reshape(n, -1),
+                  # keep specs static when the tier is off (Tg=0): ship a
+                  # one-slot dummy whose compute is dropped by the Python
+                  # branch above
+                  (plan.g_rpanel if Tg else
+                   np.zeros((n, n, 1), np.int32)).reshape(n, -1),
+                  (plan.g_cols_l if Tg else
+                   np.zeros((n, n, 1, plan.block_width),
+                            np.int32)).reshape(n, -1),
                   plan.res_arow.reshape(n, -1),
                   plan.res_col.reshape(n, -1)))
 
@@ -313,8 +450,9 @@ def make_ring_sddmm(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     csr_map = jnp.asarray(plan.rphm_to_csr)
 
     def fn(A, Bt):
-        d, r = mapped(A, Bt, *dev_arrays)
-        big = jnp.concatenate([d.reshape(-1), r.reshape(-1)])
+        d, g, r = mapped(A, Bt, *dev_arrays)
+        big = jnp.concatenate([d.reshape(-1), g.reshape(-1),
+                               r.reshape(-1)])
         return jnp.take(big, csr_map)
 
     return jax.jit(fn), plan

@@ -39,7 +39,8 @@ def test_ring_matches_oracle(n, gen):
 
 
 def test_ring_packing_partition():
-    """Every nonzero lands in exactly one (shard, panel) group slot."""
+    """Every nonzero lands in exactly one (shard, panel) group slot
+    across the dense + gathered + residual tiers."""
     csr = random_mask(rows=512, cols=1024, nnz=20000, seed=5,
                       block_rows=16, block_cols=64)
     cfg = SddmmConfig(k=32, panel_height=16, delta=0.05)
@@ -47,13 +48,53 @@ def test_ring_packing_partition():
     plan = pack_ring_plans(csr, reord, cfg, 4)
     nnz = csr.nnz
     d = plan.tile_scatter[plan.tile_scatter < nnz]
+    g = plan.g_scatter[plan.g_scatter < nnz]
     r = plan.res_out[plan.res_out < nnz]
-    allv = np.concatenate([d.ravel(), r.ravel()])
+    allv = np.concatenate([d.ravel(), g.ravel(), r.ravel()])
     assert allv.shape[0] == nnz
     np.testing.assert_array_equal(np.sort(allv), np.arange(nnz))
-    # tile cblocks are panel-local
+    # tile cblocks / gathered cols / residual cols are panel-local
     assert plan.tile_cb.max() < plan.w // plan.block_width
+    if plan.num_gathered:
+        assert plan.g_cols_l.max() < plan.w
     assert plan.res_col.max() < plan.w
+
+
+def test_ring_gathered_tier_oracle():
+    """A mask with hot residual columns must form panel-local gathered
+    tiles in the ring plan (not fall entirely to per-nnz), and the ring
+    output must still match the fp64 oracle."""
+    rng = np.random.default_rng(11)
+    # hub columns: many rows hit a small set of columns -> residual
+    # (panel, col) counts well above the gathered cutoff
+    rows, cols = 768, 2048
+    hub = rng.integers(0, 64, 22000)
+    rr = rng.integers(0, rows, 22000)
+    uniq = np.unique(rr * cols + hub)
+    from bsmr_sddmm_tpu.formats import CSR
+    r_idx, c_idx = uniq // cols, uniq % cols
+    order = np.lexsort((c_idx, r_idx))
+    r_idx, c_idx = r_idx[order], c_idx[order]
+    offs = np.zeros(rows + 1, np.int64)
+    np.add.at(offs, r_idx + 1, 1)
+    np.cumsum(offs, out=offs)
+    csr = CSR(rows=rows, cols=cols, row_offsets=offs,
+              col_indices=c_idx.astype(np.int32),
+              values=np.ones(r_idx.shape[0], np.float32))
+    cfg = SddmmConfig(k=32, panel_height=16, delta=0.6,
+                      residual_tile_min_nnz=8)
+    n = 4
+    mesh = make_mesh(n)
+    reord = bsmr(csr, cfg)
+    fn, plan = make_ring_sddmm(csr, reord, cfg, mesh, emit="csr")
+    assert plan.num_gathered > 0, "hub mask must form gathered ring tiles"
+    A = make_dense(csr.rows, cfg.k, seed=1)
+    Bt = make_dense(csr.cols, cfg.k, seed=2)
+    A_dev, Bt_dev = ring_operands(A, Bt, plan, mesh)
+    out = np.asarray(jax.block_until_ready(fn(A_dev, Bt_dev)))
+    expected = sddmm_ref(A, Bt.T, csr)
+    res = check_data(expected, out)
+    assert res.passed, f"error rate {res.error_rate}"
 
 
 def test_ring_uses_ppermute_not_all_gather():
