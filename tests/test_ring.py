@@ -112,3 +112,23 @@ def test_ring_uses_ppermute_not_all_gather():
     jaxpr = str(jax.make_jaxpr(fn)(A_dev, Bt_dev))
     assert jaxpr.count("ppermute") == n - 1
     assert "all_gather" not in jaxpr
+
+
+def test_scaling_model_predictions():
+    """The analytic weak-scaling model must produce efficiencies in
+    (0, 1], overlapped >= blocking (hiding comm can only help), and a
+    near-balanced banded matrix must predict high efficiency at n=4."""
+    from bsmr_sddmm_tpu.parallel.scaling_model import predict_weak_scaling
+    csr = banded(4096, 120000, 96, seed=3)
+    cfg = SddmmConfig(k=128, panel_height=32, delta=0.006)
+    reord = bsmr(csr, cfg)
+    for n in (2, 4, 8):
+        pred = predict_weak_scaling(csr, reord, cfg, n)
+        assert 0.0 < pred.efficiency_overlapped <= 1.0
+        assert 0.0 < pred.efficiency_blocking <= 1.0
+        assert (pred.efficiency_overlapped
+                >= pred.efficiency_blocking - 1e-9)
+        assert pred.imbalance >= 1.0
+        assert len(pred.shard_ms) == n
+    pred4 = predict_weak_scaling(csr, reord, cfg, 4)
+    assert pred4.efficiency_overlapped >= 0.8, pred4.to_dict()
