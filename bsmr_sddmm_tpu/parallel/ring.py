@@ -204,12 +204,11 @@ def pack_ring_plans(csr: CSR, reord: BsmrReordering,
                 gcounts = np.bincount(kept_bp, minlength=n)
                 gbase = np.zeros(n, np.int64)
                 np.cumsum(gcounts[:-1], out=gbase[1:])
+                # within-group id: kept is ascending and chunks of one
+                # bpanel are contiguous in (bp, rp, ...) order, so
+                # arange - first-kept-of-group enumerates each group
                 tile_of_chunk[kept] = (np.arange(kept.shape[0])
-                                       - gbase[kept_bp]
-                                       + 0)  # within-group via stable enum
-                # stable enumeration within group: kept is ascending and
-                # chunks of one bpanel are contiguous in (bp, rp, ...)
-                # order, so arange - base(group) is the within-group id
+                                       - gbase[kept_bp])
                 Tg_max = max(Tg_max, int(gcounts.max()))
                 # per (bpanel) tile metadata in group-local order
                 for p in np.nonzero(gcounts)[0]:
