@@ -795,14 +795,70 @@ def _pad_plan_to(plan: TilePlan, T: int, Tp: int, Tg: int, E: int,
     return out
 
 
+def panel_cost_weights(csr: CSR, reord: BsmrReordering,
+                       config: SddmmConfig,
+                       k: Optional[int] = None) -> np.ndarray:
+    """Per-panel predicted kernel cost (ns) for shard balancing.
+
+    A shard_map step runs at the SLOWEST shard, and a panel's time is
+    dominated by its dense TILE count (each tile's output DMA is
+    nnz-independent) plus its residual nonzeros at the per-nnz
+    descriptor rate — NOT by its nnz. nnz-only balancing leaves
+    1.4-1.5x tile-count skew on power-law masks
+    (results/v5e_r3/scaling_model.json), so the shard splitter balances
+    on the cost model's own weights. Gathered-tier slots price within
+    ~1.5x of per-nnz entries, close enough for a balance weight.
+    """
+    from bsmr_sddmm_tpu.autotune import V5E_COSTS as _C   # lazy: no cycle
+    k = config.k if k is None else k
+    ph, bw = config.panel_height, config.block_width
+    perm = reord.row_perm.astype(np.int64)
+    num_panels = reord.num_row_panels
+    dco = reord.dense_col_offsets
+    tiles_p = (np.diff(dco) // bw).astype(np.float64)
+    # dense nnz per panel: the same membership join as pack_tiles, kept
+    # to per-panel counts (no maps)
+    row_nnz = csr.row_nnz()
+    perm_nnz = row_nnz[perm]
+    pos = np.repeat(np.arange(perm.shape[0], dtype=np.int64), perm_nnz)
+    panel_of_entry = pos // ph
+    eidx = _concat_ranges(csr.row_offsets[perm], perm_nnz)
+    cols = csr.col_indices[eidx].astype(np.int64)
+    sent = np.int64(csr.cols + 1)
+    dense_keys = (np.repeat(np.arange(num_panels, dtype=np.int64),
+                            np.diff(dco)) * sent + reord.dense_cols)
+    ds = np.argsort(dense_keys, kind="stable")
+    dks = dense_keys[ds]
+    ek = panel_of_entry * sent + cols
+    if dks.shape[0]:
+        p2 = np.minimum(np.searchsorted(dks, ek), dks.shape[0] - 1)
+        is_dense = dks[p2] == ek
+    else:
+        is_dense = np.zeros(ek.shape[0], dtype=bool)
+    dense_nnz_p = np.bincount(panel_of_entry[is_dense],
+                              minlength=num_panels).astype(np.float64)
+    panel_nnz = np.bincount(panel_of_entry,
+                            minlength=num_panels).astype(np.float64)
+    G = max(config.dense_fat_group, 1)
+    dense_ns = (_C["dense_floor_base_ns"] + _C["dense_floor_k_ns"] * k
+                + (_C["dense_step_base_ns"]
+                   + _C["dense_step_k_ns"] * k) / G)
+    per_ns = _C["pernnz_base_ns"] + _C["pernnz_k_ns"] * k
+    return tiles_p * dense_ns + (panel_nnz - dense_nnz_p) * per_ns
+
+
 def pack_shard_plans(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
-                     n_shards: int, k: Optional[int] = None) -> list:
+                     n_shards: int, k: Optional[int] = None,
+                     balance: str = "cost") -> list:
     """Row-panel sharding: split the reordered panels into ``n_shards``
-    contiguous, nnz-balanced ranges and pack each range independently —
-    each shard keeps fat steps (one common fat group, a static of the
-    shared shard_map body) and its own bucketed-then-padded-common shapes.
-    Scatter indices stay GLOBAL (into csr.nnz), so the shard outputs are
-    exact disjoint pieces of the full rphm layout.
+    contiguous, cost-balanced ranges (``balance="cost"``, the default:
+    per-panel predicted kernel cost from :func:`panel_cost_weights`;
+    ``balance="nnz"`` keeps the round-2 nnz split) and pack each range
+    independently — each shard keeps fat steps (one common fat group, a
+    static of the shared shard_map body) and its own
+    bucketed-then-padded-common shapes. Scatter indices stay GLOBAL
+    (into csr.nnz), so the shard outputs are exact disjoint pieces of
+    the full rphm layout.
 
     This replaces round 1's slice-a-global-plan approach, which silently
     dropped fat steps and gather windows (shard-local gather windows stay
@@ -829,12 +885,18 @@ def pack_shard_plans(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     perm = reord.row_perm
     R = perm.shape[0]
     num_panels = reord.num_row_panels
-    # nnz per panel -> contiguous balanced ranges
-    row_nnz = csr.row_nnz()[perm]
-    pad_rows = num_panels * ph - R
-    panel_nnz = np.concatenate([row_nnz, np.zeros(pad_rows, np.int64)]) \
-        .reshape(num_panels, ph).sum(axis=1)
-    cum = np.concatenate([[0], np.cumsum(panel_nnz)])
+    # per-panel weight -> contiguous balanced ranges
+    if balance == "cost":
+        weights = panel_cost_weights(csr, reord, cfg, k=k)
+    elif balance == "nnz":
+        row_nnz = csr.row_nnz()[perm]
+        pad_rows = num_panels * ph - R
+        weights = np.concatenate(
+            [row_nnz, np.zeros(pad_rows, np.int64)]) \
+            .reshape(num_panels, ph).sum(axis=1).astype(np.float64)
+    else:
+        raise ValueError(f"unknown balance {balance!r}")
+    cum = np.concatenate([[0.0], np.cumsum(weights)])
     targets = cum[-1] * np.arange(1, n_shards) / n_shards
     bounds = np.concatenate([[0], np.searchsorted(cum, targets),
                              [num_panels]]).astype(np.int64)

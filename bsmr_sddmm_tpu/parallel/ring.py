@@ -107,11 +107,20 @@ def pack_ring_plans(csr: CSR, reord: BsmrReordering,
     perm = reord.row_perm.astype(np.int64)
     R = perm.shape[0]
     num_panels = -(-R // ph)
-    row_nnz = csr.row_nnz()[perm]
-    pad_rows = num_panels * ph - R
-    panel_nnz = np.concatenate([row_nnz, np.zeros(pad_rows, np.int64)]) \
-        .reshape(num_panels, ph).sum(axis=1)
-    cum = np.concatenate([[0], np.cumsum(panel_nnz)])
+    # cost-balanced contiguous shard bounds (panel_cost_weights uses the
+    # single-chip column split as the tile-count proxy; the ring's own
+    # dense membership is the natural-block threshold, which correlates —
+    # either beats nnz-only balancing on power-law masks)
+    if reord.dense_cols is not None and reord.num_row_panels == num_panels:
+        from bsmr_sddmm_tpu.pack import panel_cost_weights
+        weights = panel_cost_weights(csr, reord, config, k=k)
+    else:
+        row_nnz = csr.row_nnz()[perm]
+        pad_rows = num_panels * ph - R
+        weights = np.concatenate(
+            [row_nnz, np.zeros(pad_rows, np.int64)]) \
+            .reshape(num_panels, ph).sum(axis=1).astype(np.float64)
+    cum = np.concatenate([[0.0], np.cumsum(weights)])
     targets = cum[-1] * np.arange(1, n) / n
     bounds = np.concatenate([[0], np.searchsorted(cum, targets),
                              [num_panels]]).astype(np.int64)
