@@ -132,3 +132,25 @@ def test_scaling_model_predictions():
         assert len(pred.shard_ms) == n
     pred4 = predict_weak_scaling(csr, reord, cfg, 4)
     assert pred4.efficiency_overlapped >= 0.8, pred4.to_dict()
+
+
+def test_cost_balanced_shards_beat_nnz_on_skewed_mask():
+    """On a mask whose tile density varies across row panels (power-law
+    style), cost-balanced shard bounds must not be worse than the
+    round-2 nnz bounds in predicted imbalance."""
+    from bsmr_sddmm_tpu.autotune import estimate_plan_ms
+    from bsmr_sddmm_tpu.pack import pack_shard_plans
+    from bsmr_sddmm_tpu.datasets import rmat
+    csr = rmat(4096, 150000, seed=13)
+    cfg = SddmmConfig(k=128, panel_height=32, delta=0.006)
+    reord = bsmr(csr, cfg)
+
+    def imbalance(balance):
+        plans = pack_shard_plans(csr, reord, cfg, 4, balance=balance)
+        ms = [estimate_plan_ms(p) for p in plans]
+        return max(ms) / (sum(ms) / len(ms))
+
+    imb_cost = imbalance("cost")
+    imb_nnz = imbalance("nnz")
+    assert imb_cost <= imb_nnz * 1.02, (imb_cost, imb_nnz)
+    assert imb_cost < 1.5, imb_cost
