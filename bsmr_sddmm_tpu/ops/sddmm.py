@@ -533,21 +533,27 @@ def make_batched_sddmm_fn(plan: TilePlan, config: SddmmConfig,
     the batch over grid.z): ``fn(A (Z, M, K), Bt (Z, N, K), dplan)``.
 
     The TilePlan (mask structure) is shared across the batch — the
-    reference's batch semantics. On the XLA backend this is a plain vmap
-    of the body (XLA turns the per-tile matmuls into batched MXU
-    contractions). On the pallas backend vmap would insert a batch
-    dimension into the kernels' BlockSpecs, which Mosaic rejects, so the
-    batch runs as a ``lax.map`` (scan) over the leading axis — one
-    compiled kernel, Z sequential launches."""
-    resolved = resolve_backend(config.backend if backend is None
-                               else backend)
-    body = make_sddmm_body(plan, config, backend, emit=emit)
+    reference's batch semantics. The default (``backend=None``/"auto")
+    vmaps the XLA body: XLA turns the per-tile matmuls into batched MXU
+    contractions and the gathered/residual row gathers stay single big
+    takes with a batch dim. Explicit ``backend="pallas"`` instead runs a
+    ``lax.map`` (scan) over the leading axis (vmap would insert a batch
+    dimension into the kernels' BlockSpecs, which Mosaic rejects) — but
+    a scan over the body puts its ROW GATHERS inside a scan too, the
+    measured v5e pathology (~40-85 M rows/s vs ~345 single-shot,
+    PERF.md), so the pallas batch arm is opt-in for measurement, not
+    the default."""
+    explicit = backend is not None and \
+        resolve_backend(backend) == "pallas"
     nnz = plan.nnz
-    if resolved == "pallas":
+    if explicit:
+        body = make_sddmm_body(plan, config, backend, emit=emit)
+
         def mapped(A, Bt, dplan):
             return jax.lax.map(lambda ab: body(ab[0], ab[1], dplan),
                                (A, Bt))
     else:
+        body = make_sddmm_body(plan, config, "xla", emit=emit)
         mapped = jax.vmap(body, in_axes=(0, 0, None))
     if emit in ("rphm", "csr"):
         return jax.jit(mapped)

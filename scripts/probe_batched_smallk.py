@@ -59,45 +59,55 @@ def main() -> int:
                 if Z == 1:
                     from bsmr_sddmm_tpu.utils.timing import \
                         time_rphm_inprogram
-                    ms = time_rphm_inprogram(
+                    arms = [("single", None, time_rphm_inprogram(
                         body, jnp.asarray(A1), jnp.asarray(Bt1), dplan,
-                        dense_opaque=True)
+                        dense_opaque=True))]
                 else:
-                    # in-program timing of the batched body: consume all
-                    # three tiers of the Z-mapped output
-                    from bsmr_sddmm_tpu.ops.sddmm import resolve_backend
-                    resolved = resolve_backend(cfg.backend)
-                    if resolved == "pallas":
-                        def bat(a, b, d):
+                    # both batch arms, in-program timed: the default
+                    # vmap-of-XLA-body (gathers stay single big takes
+                    # with a batch dim) and the opt-in lax.map of the
+                    # pallas hybrid (its scan puts row gathers inside a
+                    # scan — the measured v5e pathology — measured here
+                    # so the comparison is recorded, not assumed)
+                    from bsmr_sddmm_tpu.ops.sddmm import \
+                        make_sddmm_body as _mk, resolve_backend
+                    arms = []
+                    bodies = {"vmap_xla": jax.vmap(
+                        _mk(plan, cfg, "xla", emit="rphm"),
+                        in_axes=(0, 0, None))}
+                    if resolve_backend(cfg.backend) == "pallas":
+                        def bat_pallas(a, b, d):
                             return jax.lax.map(
                                 lambda ab: body(ab[0], ab[1], d), (a, b))
-                    else:
-                        bat = jax.vmap(body, in_axes=(0, 0, None))
+                        bodies["map_pallas"] = bat_pallas
+                    for arm, bat in bodies.items():
+                        opaque_arm = arm == "map_pallas"
 
-                    def probe_body(a, b, d):
-                        dd, pp, g, r = bat(a, b, d)
-                        # pallas path: lax.map (scan) runs every step;
-                        # first+last elements keep the opaque calls live.
-                        # XLA path: full sums (partial consumption of a
-                        # vmapped dot could legally narrow it).
-                        dprobe = (dd.ravel()[0] + dd.ravel()[-1]
-                                  if resolved == "pallas"
-                                  else jnp.sum(dd) * 1e-30)
-                        pprobe = (pp.ravel()[0] if pp.size else 0.0)
-                        return (dprobe + pprobe * 1e-30
-                                + jnp.sum(g) * 1e-30 + jnp.sum(r))
+                        def probe_body(a, b, d, bat=bat,
+                                       opq=opaque_arm):
+                            dd, pp, g, r = bat(a, b, d)
+                            # pallas map: first+last elements keep every
+                            # scanned opaque call live. XLA vmap: full
+                            # sums (partial consumption of a vmapped dot
+                            # could legally narrow it).
+                            dprobe = (dd.ravel()[0] + dd.ravel()[-1]
+                                      if opq else jnp.sum(dd) * 1e-30)
+                            pprobe = (pp.ravel()[0] if pp.size else 0.0)
+                            return (dprobe + pprobe * 1e-30
+                                    + jnp.sum(g) * 1e-30 + jnp.sum(r))
 
-                    ms = time_tier_inprogram(
-                        lambda a, b, d: probe_body(a, b, d),
-                        jnp.asarray(A), jnp.asarray(Bt), dplan,
-                        opaque=True)
-                per_head_ms = ms / Z
-                gf = 2.0 * csr.nnz * K / (per_head_ms * 1e6)
-                key = f"z{Z}"
-                if gf > best.get(key, 0.0):
-                    best[key] = round(gf, 1)
-                print(f"{name} Z={Z} d={delta}: {gf:.0f} GFLOPS/head "
-                      f"({ms:.3f} ms total)", flush=True)
+                        arms.append((arm, bat, time_tier_inprogram(
+                            probe_body, jnp.asarray(A), jnp.asarray(Bt),
+                            dplan, opaque=True)))
+                for arm, _, ms in arms:
+                    per_head_ms = ms / Z
+                    gf = 2.0 * csr.nnz * K / (per_head_ms * 1e6)
+                    key = f"z{Z}" if Z == 1 else f"z{Z}_{arm}"
+                    if gf > best.get(key, 0.0):
+                        best[key] = round(gf, 1)
+                    print(f"{name} Z={Z} d={delta} {arm}: "
+                          f"{gf:.0f} GFLOPS/head ({ms:.3f} ms total)",
+                          flush=True)
         rows.append({"matrix": name, "nnz": csr.nnz, **best})
 
     def geo(key):
@@ -110,7 +120,10 @@ def main() -> int:
         "note": ("per-head GFLOPS, best over delta; Z heads share one "
                  "mask/plan (reference sddmm_gpu_batch semantics)"),
         "rows": rows,
-        "geomean_per_head": {f"z{z}": geo(f"z{z}") for z in args.zs},
+        "geomean_per_head": {
+            key: geo(key)
+            for key in sorted({k for r in rows for k in r
+                               if k.startswith("z")})},
     }
     import os
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
