@@ -448,19 +448,33 @@ def make_ring_sddmm(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
                   plan.res_arow.reshape(n, -1),
                   plan.res_col.reshape(n, -1)))
 
+    # plan arrays are passed as jit ARGUMENTS, not closed over: a
+    # multi-process program may not close over global (non-addressable)
+    # arrays, and arguments also keep them out of the compiled constant
+    # pool
     if emit == "rphm":
+        jitted = jax.jit(lambda A, Bt, *dv: mapped(A, Bt, *dv))
+
         def fn(A, Bt):
-            return mapped(A, Bt, *dev_arrays)
-        return jax.jit(fn), plan
+            return jitted(A, Bt, *dev_arrays)
+        return fn, plan
 
     if emit != "csr":
         raise ValueError(f"unknown emit {emit!r}")
-    csr_map = jnp.asarray(plan.rphm_to_csr)
+    repl = NamedSharding(mesh, P())
+    csr_map = put_global(plan.rphm_to_csr, repl)
 
-    def fn(A, Bt):
-        d, g, r = mapped(A, Bt, *dev_arrays)
+    def inner(A, Bt, cmap, *dv):
+        d, g, r = mapped(A, Bt, *dv)
         big = jnp.concatenate([d.reshape(-1), g.reshape(-1),
                                r.reshape(-1)])
-        return jnp.take(big, csr_map)
+        return jnp.take(big, cmap)
 
-    return jax.jit(fn), plan
+    # csr emission is the full values vector — replicate it so every
+    # process can read it (the take above already globalizes the data)
+    jitted = jax.jit(inner, out_shardings=repl)
+
+    def fn(A, Bt):
+        return jitted(A, Bt, csr_map, *dev_arrays)
+
+    return fn, plan

@@ -64,6 +64,17 @@ out_np = np.asarray(jax.block_until_ready(out))
 
 expected = sddmm_ref(A, Bt.T, csr)
 res = check_data(expected, out_np)
+
+# ring layout: B stays sharded; lax.ppermute panel rotation crosses the
+# process boundary each hop (gloo here; ICI/DCN on a pod)
+from bsmr_sddmm_tpu.parallel.ring import (                # noqa: E402
+    make_ring_sddmm, ring_operands)
+fn_ring, rplan = make_ring_sddmm(csr, reord, cfg, mesh, emit="csr")
+A_r, Bt_r = ring_operands(A, Bt, rplan, mesh)
+out_ring = fn_ring(A_r, Bt_r)   # csr emission is already replicated
+res_ring = check_data(expected, np.asarray(jax.block_until_ready(
+    out_ring)))
+
 print(json.dumps({
     "process": pid, "num_processes": nproc,
     "global_devices": n_global,
@@ -72,5 +83,7 @@ print(json.dumps({
     "b_sharded_all_gather": True,
     "check": "pass" if res.passed else "fail",
     "error_rate": float(res.error_rate),
+    "ring_check": "pass" if res_ring.passed else "fail",
+    "ring_error_rate": float(res_ring.error_rate),
 }), flush=True)
-sys.exit(0 if res.passed else 1)
+sys.exit(0 if res.passed and res_ring.passed else 1)

@@ -4,8 +4,9 @@ Two OS processes bootstrap with ``jax.distributed.initialize``, form one
 4-device global mesh (2 virtual CPU devices each), and run the
 per-shard-packed shard_map SDDMM with B column panels sharded across the
 global mesh — the in-body all_gather crosses the process boundary (gloo
-on CPU; DCN/ICI on a pod). Both processes validate the full output
-against the fp64 oracle.
+on CPU; DCN/ICI on a pod) — and the ring layout, whose lax.ppermute
+B-panel rotation crosses the boundary on every hop. Both processes
+validate both full outputs against the fp64 oracle.
 
 The committed artifact of a real run lives in
 results/v5e_r3/multihost_2proc.json.
@@ -38,5 +39,6 @@ def test_two_process_sharded_sddmm(tmp_path):
         rec = json.loads([ln for ln in out.splitlines()
                           if ln.startswith("{")][-1])
         assert rec["check"] == "pass"
+        assert rec["ring_check"] == "pass"
         assert rec["global_devices"] == 4
         assert rec["num_processes"] == 2
