@@ -795,6 +795,154 @@ def _pad_plan_to(plan: TilePlan, T: int, Tp: int, Tg: int, E: int,
     return out
 
 
+def _unify_window_groups(plans: list, config: SddmmConfig) -> list:
+    """Rebuild each shard plan's gathered/residual gather windows on one
+    SHARED static group grid.
+
+    Window groups are static metadata of the sddmm body, and the sharded
+    path compiles ONE body (from plans[0]) for every device — so all
+    shards must agree on (window_rows, a_window_rows, g_groups,
+    res_groups). Per-shard packs agree on the B-side window size (it
+    depends only on (N, k)) but not on which windows they touch or how
+    many tiles/entries land in each; this pass takes the union of touched
+    windows, pads every shard's per-window count up to the max with trash
+    slots (scatter -> nnz, gather cols -> the window base, so pads stay
+    window-pure and their output is dropped), and rewrites the arrays in
+    the shared group order. num_gathered/num_residual become the padded
+    group totals (the windowed body computes exactly the group slots and
+    zero-fills the tail). Per-plan ``rphm_to_csr`` is NOT updated — the
+    sharded csr map is rebuilt from the scatter arrays
+    (parallel.sharding.sharded_rphm_to_csr). No-op when nothing windowed.
+    """
+    p0 = plans[0]
+    W = p0.window_rows
+    assert all(p.window_rows == W for p in plans), \
+        "B-window size must be shard-independent"
+    ph, bw, nnz, N, k = (p0.panel_height, p0.block_width, p0.nnz,
+                         p0.cols, p0.k)
+    new = list(plans)
+
+    if W is not None:
+        per_shard = []
+        base_set = set()
+        for p in plans:
+            ng = p.num_gathered
+            grp = p.g_cols[:ng, 0].astype(np.int64) // W
+            base = np.minimum(grp * W, N - W)
+            order = np.argsort(base, kind="stable")
+            per_shard.append((base[order], order))
+            base_set.update(np.unique(base).tolist())
+        bases = np.asarray(sorted(base_set), np.int64)
+        counts = np.zeros(bases.shape[0], np.int64)
+        for sb, _ in per_shard:
+            if sb.size:
+                idx = np.searchsorted(bases, sb)
+                counts = np.maximum(
+                    counts, np.bincount(idx, minlength=bases.shape[0]))
+        offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        num_g = int(offs[-1])
+        g_groups = [(int(b), int(offs[i]), int(offs[i + 1]))
+                    for i, b in enumerate(bases)]
+        for si, p in enumerate(plans):
+            sb, order = per_shard[si]
+            g_panel = np.zeros(num_g, np.int32)
+            g_cols = np.empty((num_g, bw), np.int32)
+            for i in range(bases.shape[0]):        # pad cols stay in-window
+                g_cols[offs[i]:offs[i + 1]] = bases[i]
+            g_scatter = np.full((num_g, ph, bw), nnz, np.int32)
+            if sb.size:
+                idx = np.searchsorted(bases, sb)
+                within = np.arange(sb.size) - np.searchsorted(sb, sb)
+                dest = offs[idx] + within
+                ng = p.num_gathered
+                g_panel[dest] = p.g_panel[:ng][order]
+                g_cols[dest] = p.g_cols[:ng][order]
+                g_scatter[dest] = p.g_scatter[:ng][order]
+            new[si] = dataclasses.replace(
+                new[si], g_panel=g_panel, g_cols=g_cols,
+                g_scatter=g_scatter, num_gathered=num_g,
+                g_groups=g_groups if num_g else None)
+
+    # ---- residual: (A-window, B-window) pair groups on the common grid --
+    a_rows_c = max(p.row_perm_padded.shape[0] for p in plans)
+    Wa = None
+    if (config.gather_window_mb
+            and a_rows_c * k * 4 > (config.gather_window_threshold_mb
+                                    << 20)):
+        awr = max((config.gather_window_mb << 20) // (k * 4), ph)
+        awr = max(awr, -(-a_rows_c // max(config.max_gather_groups, 1)))
+        if a_rows_c > 2 * awr:
+            Wa = awr
+    if W is None and Wa is None:
+        return new
+
+    def pair_keys(p, use_a):
+        ne = p.num_residual
+        rows = p.res_arow[:ne].astype(np.int64)
+        cols = p.res_col[:ne].astype(np.int64)
+        ab = (np.minimum(rows // Wa * Wa, a_rows_c - Wa)
+              if (Wa and use_a) else np.full(ne, -1, np.int64))
+        bb = (np.minimum(cols // W * W, N - W) if W
+              else np.full(ne, -1, np.int64))
+        return ab, bb
+
+    use_a = Wa is not None
+    pair_set = set()
+    for p in plans:
+        ab, bb = pair_keys(p, use_a)
+        pair_set.update({(int(a), int(b)) for a, b in
+                         zip(*(np.unique(np.stack([ab, bb]), axis=1)))})
+    if use_a and len(pair_set) > 2 * max(config.max_gather_groups, 1):
+        # same budget rule as pack_tiles: drop the A side first
+        use_a = False
+        pair_set = set()
+        for p in plans:
+            ab, bb = pair_keys(p, use_a)
+            pair_set.update({(int(a), int(b)) for a, b in
+                             zip(*(np.unique(np.stack([ab, bb]),
+                                             axis=1)))})
+    pairs = sorted(pair_set)
+    pkeys = np.asarray([a * (N + 2) + b for a, b in pairs], np.int64) \
+        if pairs else np.zeros(0, np.int64)
+    counts = np.zeros(len(pairs), np.int64)
+    shard_keys = []
+    for p in plans:
+        ab, bb = pair_keys(p, use_a)
+        key = ab * (N + 2) + bb
+        order = np.argsort(key, kind="stable")
+        shard_keys.append((key[order], order))
+        if key.size:
+            idx = np.searchsorted(pkeys, key)
+            counts = np.maximum(
+                counts, np.bincount(idx, minlength=len(pairs)))
+    offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    num_r = int(offs[-1])
+    res_groups = [(int(a), int(b), int(offs[i]), int(offs[i + 1]))
+                  for i, (a, b) in enumerate(pairs)]
+    for si, p in enumerate(plans):
+        ks, order = shard_keys[si]
+        res_arow = np.zeros(num_r, np.int32)
+        res_col = np.zeros(num_r, np.int32)
+        for i, (a, b) in enumerate(pairs):        # pads stay in-window
+            res_arow[offs[i]:offs[i + 1]] = max(a, 0)
+            res_col[offs[i]:offs[i + 1]] = max(b, 0)
+        res_out = np.full(num_r, nnz, np.int32)
+        if ks.size:
+            idx = np.searchsorted(pkeys, ks)
+            within = np.arange(ks.size) - np.searchsorted(ks, ks)
+            dest = offs[idx] + within
+            ne = p.num_residual
+            res_arow[dest] = p.res_arow[:ne][order]
+            res_col[dest] = p.res_col[:ne][order]
+            res_out[dest] = p.res_out[:ne][order]
+        new[si] = dataclasses.replace(
+            new[si], res_arow=res_arow, res_col=res_col, res_out=res_out,
+            num_residual=num_r,
+            res_groups=res_groups if num_r else None,
+            a_window_rows=Wa if use_a else None)
+    return new
+
+
 def panel_cost_weights(csr: CSR, reord: BsmrReordering,
                        config: SddmmConfig,
                        k: Optional[int] = None) -> np.ndarray:
@@ -861,26 +1009,17 @@ def pack_shard_plans(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
     the full rphm layout.
 
     This replaces round 1's slice-a-global-plan approach, which silently
-    dropped fat steps and gather windows (shard-local gather windows stay
-    off: window groups are per-shard static metadata and cannot differ
-    across shards under one shard_map program).
+    dropped fat steps and gather windows. Gather windows are kept: window
+    groups must be identical static metadata across shards under one
+    shard_map program, so per-shard groups are rewritten onto a shared
+    static window grid (:func:`_unify_window_groups`).
     """
     assert reord.dense_cols is not None, "run col_reordering first"
-    cfg = config.replace(gather_window_mb=0)
-    if (config.gather_window_mb and (k or config.k) is not None
-            and csr.cols * (k or config.k) * 4
-            > (config.gather_window_threshold_mb << 20)):
-        # shard packs cannot carry per-shard window groups (they are
-        # static metadata of ONE shared shard_map body) — at cliff scale
-        # (B beyond the gather-window threshold) the shards lose the
-        # >64 MB gather-cliff protection single-chip plans get
-        import warnings
-        warnings.warn(
-            f"pack_shard_plans drops gather windows: B is "
-            f"{csr.cols * (k or config.k) * 4 >> 20} MB (> "
-            f"{config.gather_window_threshold_mb} MB threshold); gathered/"
-            f"residual B-gathers may run at the degraded >64MB rate",
-            RuntimeWarning, stacklevel=2)
+    # windows stay ON: per-shard packs produce per-shard window groups,
+    # and _unify_window_groups below rewrites them onto one shared static
+    # grid (a single shard_map body serves every shard) — cliff-scale B
+    # keeps the windowed-gather protection under multi-chip
+    cfg = config
     ph = cfg.panel_height
     perm = reord.row_perm
     R = perm.shape[0]
@@ -947,6 +1086,8 @@ def pack_shard_plans(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
                 )
                 shard_plans.append(pack_tiles(csr, sub, cfg, k=k,
                                               fat_group_override=G))
+    if any(p.window_rows or p.a_window_rows for p in shard_plans):
+        shard_plans = _unify_window_groups(shard_plans, cfg)
     # pad to common shapes
     T = max(p.tile_panel.shape[0] for p in shard_plans)
     Tp = max(p.sp_panel.shape[0] for p in shard_plans)

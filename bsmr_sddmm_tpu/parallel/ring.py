@@ -219,18 +219,25 @@ def pack_ring_plans(csr: CSR, reord: BsmrReordering,
                 tile_of_chunk[kept] = (np.arange(kept.shape[0])
                                        - gbase[kept_bp])
                 Tg_max = max(Tg_max, int(gcounts.max()))
-                # per (bpanel) tile metadata in group-local order
+                # per-tile column lists, vectorized over ALL kept chunks
+                # at once (a big mask can have 100k+ tiles — a Python
+                # loop here bound the host side): each chunk's <=bw
+                # unique cols land in one row of (Kc, bw); pad slots
+                # repeat the chunk's first col (gather stays in-panel,
+                # scatter slots are trash)
+                cstarts = cpos[kept]
+                lens = np.append(cpos, U)[kept + 1] - cstarts
+                lane = np.arange(bw)
+                src = cstarts[:, None] + np.where(lane < lens[:, None],
+                                                  lane, 0)
+                cols_all = (s_col[src]
+                            - kept_bp[:, None] * w).astype(np.int32)
+                rp_all = s_rp[cstarts].astype(np.int32)
+                # kept chunks are (bpanel, ...)-sorted, so each group is
+                # a contiguous slice
                 for p in np.nonzero(gcounts)[0]:
-                    sel = kept[kept_bp == p]
-                    rp_t = s_rp[cpos[sel]].astype(np.int32)
-                    cols_t = np.zeros((sel.shape[0], bw), np.int32)
-                    for j, c in enumerate(sel):
-                        lo = cpos[c]
-                        hi = cpos[c + 1] if c + 1 < cpos.shape[0] else U
-                        cc = (s_col[lo:hi] - p * w).astype(np.int32)
-                        cols_t[j, :cc.shape[0]] = cc
-                        cols_t[j, cc.shape[0]:] = cc[0] if cc.size else 0
-                    g_meta[int(p)] = (rp_t, cols_t)
+                    s0, s1 = np.searchsorted(kept_bp, [p, p + 1])
+                    g_meta[int(p)] = (rp_all[s0:s1], cols_all[s0:s1])
                 # route entries through their unique col's chunk
                 inv_uorder = np.empty(U, np.int64)
                 inv_uorder[uorder] = np.arange(U)
