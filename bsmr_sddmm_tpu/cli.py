@@ -66,6 +66,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto-delta", action="store_true",
                    help="pick delta per matrix from the measured cost "
                         "model instead of -d")
+    p.add_argument("--auto-alpha", action="store_true",
+                   help="also put alpha in the autotuner's choice set "
+                        "(prices the full alpha x delta x subpack grid, "
+                        "the reference test-mode sweep host-side; "
+                        "implies --auto-delta)")
     return p
 
 
@@ -108,16 +113,19 @@ def main(argv=None) -> int:
     if not args.test_mode:
         A = make_dense(csr.rows, args.k, seed=1337)
         B = make_dense(args.k, csr.cols, seed=1338)
-        delta = "auto" if args.auto_delta else None
-        log = pipe.benchmark(A, B, delta=delta, validate=args.validate,
+        delta = "auto" if (args.auto_delta or args.auto_alpha) else None
+        alpha = "auto" if args.auto_alpha else None
+        log = pipe.benchmark(A, B, alpha=alpha, delta=delta,
+                             validate=args.validate,
                              time_csr_emit=not args.fast_bench,
                              tier_times=args.tier_times, file=name)
         if args.evaluate:
             from bsmr_sddmm_tpu.evaluate import evaluate_reordering
             ev = evaluate_reordering(csr, cfg.replace(delta=log.delta))
             log.extras.update(ev.as_extras())
-        tag_d = "auto" if args.auto_delta else args.delta
-        emit(log, f"BSMR_k_{args.k}_a_{args.alpha}_d_{tag_d}")
+        tag_a = "auto" if args.auto_alpha else args.alpha
+        tag_d = "auto" if delta == "auto" else args.delta
+        emit(log, f"BSMR_k_{args.k}_a_{tag_a}_d_{tag_d}")
         return 0 if (not args.validate or log.check_result == "pass") else 1
 
     # test mode: sweep alpha x delta x K, row reordering reused per alpha

@@ -66,11 +66,18 @@ class BsmrSddmm:
         reord = dataclasses.replace(base)
         return split_columns(self.csr, reord, cfg, delta=delta)
 
-    def choose(self, alpha: Optional[float] = None,
-               k: Optional[int] = None):
-        """Full autotune decision (autotune.DeltaChoice): best tiled plan
-        across the delta candidates, or the dense-fallback tier when the
-        cost model says a masked full matmul wins (near-uniform masks)."""
+    def choose(self, alpha=None, k: Optional[int] = None):
+        """Full autotune decision: best tiled plan across the delta
+        candidates (autotune.DeltaChoice), or — with ``alpha="auto"`` —
+        across the whole (alpha, delta, subpack) grid
+        (autotune.ConfigChoice, the reference's test-mode sweep priced
+        host-side); either may instead pick the dense-fallback tier when
+        the cost model says a masked full matmul wins (near-uniform
+        masks)."""
+        if alpha == "auto":
+            from bsmr_sddmm_tpu.autotune import choose_config
+            return choose_config(self.csr, self._row_reordering,
+                                 self.config, k=k or self.config.k)
         from bsmr_sddmm_tpu.autotune import choose_delta
         base = self._row_reordering(alpha)
         return choose_delta(self.csr, base, self.config,
@@ -84,6 +91,8 @@ class BsmrSddmm:
         on-hardware config sweep."""
         if delta == "auto":
             return self.choose(alpha, k=k).plan
+        if alpha == "auto":
+            raise ValueError('alpha="auto" requires delta="auto"')
         reord = self.reorder(alpha, delta)
         return pack_tiles(self.csr, reord, self.config,
                           k=k or self.config.k)
@@ -140,10 +149,14 @@ class BsmrSddmm:
         plan = None
         if delta == "auto":
             choice = self.choose(alpha, k=k)   # one autotune pass
+            if alpha == "auto":
+                alpha = choice.alpha
             if choice.use_dense:
                 delta = "dense"
             else:
                 plan = choice.plan
+        elif alpha == "auto":
+            raise ValueError('alpha="auto" requires delta="auto"')
         if delta == "dense":
             fn = self.dense_fn(k)
             return np.asarray(fn(jnp.asarray(A), jnp.asarray(Bt)))
@@ -169,12 +182,16 @@ class BsmrSddmm:
         plan = None
         if delta == "auto":
             choice = self.choose(alpha, k=k)   # one autotune pass
+            if alpha == "auto":
+                alpha = choice.alpha
             if choice.use_dense:
                 delta = "dense"
             else:
                 plan = choice.plan
                 delta = plan.delta_used
                 reord = self._row_reordering(alpha)
+        elif alpha == "auto":
+            raise ValueError('alpha="auto" requires delta="auto"')
         if delta == "dense":
             return self._benchmark_dense(A, B, alpha=alpha,
                                          validate=validate, file=file)

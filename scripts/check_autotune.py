@@ -45,10 +45,16 @@ def main(argv=None) -> int:
     p.add_argument("log", help="bench.py stderr log with sweep lines")
     p.add_argument("--ks", type=int, nargs="*", default=[32, 128])
     p.add_argument("--alpha", type=float, default=0.3)
+    p.add_argument("--auto-alpha", action="store_true",
+                   help="check autotune.choose_config (alpha IN the "
+                        "choice set) against the sweep best over ALL "
+                        "alphas, instead of fixed-alpha choose_delta")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
-    from bsmr_sddmm_tpu.autotune import choose_delta
+    from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
+    tune_malloc()   # packing is allocation-bound on this host (PERF.md)
+    from bsmr_sddmm_tpu.autotune import choose_config, choose_delta
     from bsmr_sddmm_tpu.config import SddmmConfig
     from bsmr_sddmm_tpu.datasets import SUITE
     from bsmr_sddmm_tpu.sddmm import BsmrSddmm
@@ -61,20 +67,38 @@ def main(argv=None) -> int:
             continue
         csr = gen()
         pipe = BsmrSddmm(csr, SddmmConfig(k=128, panel_height=32,
-                                          subpack_min_nnz=12))
+                                          subpack_min_nnz=12,
+                                          reorder_cache=True))
         base = pipe._row_reordering(args.alpha)
         for k in args.ks:
             sweep = runs.get((name, k), {})
-            # restrict to this alpha and the bench config grid
-            cands = {(d, s): g for (a, d, s), g in sweep.items()
-                     if a == args.alpha}
-            if not cands:
-                continue
-            choice = choose_delta(csr, base, pipe.config,
-                                  candidates=sorted({d for d, _ in cands}),
-                                  k=k, allow_dense=False)
-            picked = (choice.plan.delta_used,
-                      12 if choice.plan.num_packed else 0)
+            if args.auto_alpha:
+                # alpha in the choice set: compare choose_config's
+                # (alpha, delta, sub) pick to the sweep best over the
+                # ENTIRE measured grid (alphas the sweep deduped away
+                # are excluded from both sides)
+                cands = dict(sweep)
+                if not cands:
+                    continue
+                choice = choose_config(
+                    csr, pipe._row_reordering, pipe.config,
+                    alphas=sorted({a for a, _, _ in cands}),
+                    candidates=sorted({d for _, d, _ in cands}),
+                    k=k, allow_dense=False)
+                picked = (choice.alpha, choice.plan.delta_used,
+                          12 if choice.plan.num_packed else 0)
+            else:
+                # restrict to this alpha and the bench config grid
+                cands = {(d, s): g for (a, d, s), g in sweep.items()
+                         if a == args.alpha}
+                if not cands:
+                    continue
+                choice = choose_delta(
+                    csr, base, pipe.config,
+                    candidates=sorted({d for d, _ in cands}),
+                    k=k, allow_dense=False)
+                picked = (choice.plan.delta_used,
+                          12 if choice.plan.num_packed else 0)
             best_cfg = max(cands, key=cands.get)
             got = cands.get(picked)
             rows.append({"matrix": name, "k": k,
@@ -84,9 +108,9 @@ def main(argv=None) -> int:
                          "best_gflops": cands[best_cfg],
                          "fraction": (round(got / cands[best_cfg], 3)
                                       if got else None)})
-            print(f"{name} k={k}: picked d={picked[0]} sub={picked[1]} "
-                  f"-> {got} GFLOPS; sweep best d={best_cfg[0]} "
-                  f"sub={best_cfg[1]} -> {cands[best_cfg]} "
+            print(f"{name} k={k}: picked {picked} "
+                  f"-> {got} GFLOPS; sweep best {best_cfg} "
+                  f"-> {cands[best_cfg]} "
                   f"({rows[-1]['fraction']})", flush=True)
     fr = [r["fraction"] for r in rows if r["fraction"]]
     summary = {"mean_fraction": round(sum(fr) / max(len(fr), 1), 3),

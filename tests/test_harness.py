@@ -350,6 +350,40 @@ def test_auto_delta_choice():
     assert log.delta == choice.delta
 
 
+def test_auto_alpha_choice():
+    """alpha='auto' prices the (alpha, delta, subpack) grid — the
+    reference's test-mode hardware sweep (src/sddmm.cu:64-66) priced by
+    the cost model — and the pipeline runs the argmin correctly."""
+    from bsmr_sddmm_tpu.autotune import (ALPHA_CANDIDATES,
+                                         DELTA_CANDIDATES, choose_config)
+    from bsmr_sddmm_tpu.config import SddmmConfig
+    from bsmr_sddmm_tpu.sddmm import BsmrSddmm
+    csr = random_mask(16384, 16384, 300000, seed=19, block_rows=32,
+                      block_cols=128, block_fill=0.9, shuffle_rows=True)
+    cfg = SddmmConfig(k=32, panel_height=16, subpack_min_nnz=12)
+    pipe = BsmrSddmm(csr, cfg)
+    choice = choose_config(csr, pipe._row_reordering, cfg)
+    assert choice.alpha in ALPHA_CANDIDATES
+    assert choice.delta in DELTA_CANDIDATES
+    assert choice.subpack in (0, cfg.subpack_min_nnz)
+    tiled = {k: v for k, v in choice.candidates.items() if k != "dense"}
+    assert choice.candidates[(choice.alpha, choice.delta,
+                              choice.subpack)] == min(tiled.values())
+    assert choice.plan.delta_used == choice.delta
+    # distinct alphas priced (shuffled block mask clusters differently
+    # at different thresholds) — else the grid degenerates to one alpha
+    assert len({a for a, _, _ in tiled}) >= 1
+    # the pipeline runs the choice end to end and validates
+    A, B = make_ab(csr, cfg.k)
+    log = pipe.benchmark(A, B, alpha="auto", delta="auto", validate=True,
+                         file="auto_alpha.mtx")
+    assert log.check_result == "pass"
+    assert log.alpha == choice.alpha
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="auto"):
+        pipe.plan(alpha="auto", delta=0.3)
+
+
 def _tile16_stats(csr, delta=0.3):
     """16x16-tile dense coverage/density at the reference's geometry
     (WMMA_M/N = 16, threshold ceil(delta*256) — colReordering.cu:246-261)
