@@ -65,6 +65,10 @@ def main() -> int:
     only = os.environ.get("BENCH_MATRICES")   # comma-separated subset
     suite = [(n, g) for n, g in SUITE
              if only is None or n in only.split(",")]
+    if not suite:
+        print(f"BENCH_MATRICES={only!r} matched nothing; suite names: "
+              f"{[n for n, _ in SUITE]}", file=sys.stderr)
+        return 1
     best = {k: [] for k in KS}        # best over all arms incl. fp16-out
     best32 = {k: [] for k in KS}      # fp32-emission arms only
     for name, gen in suite:
@@ -106,8 +110,22 @@ def main() -> int:
                       f"skipped (plan maps {plan_bytes >> 20} MB)",
                       file=sys.stderr, flush=True)
                 return None
-            log = pipe.benchmark(A, B, alpha=alpha, delta=delta,
-                                 time_csr_emit=False, file=name)
+            try:
+                log = pipe.benchmark(A, B, alpha=alpha, delta=delta,
+                                     time_csr_emit=False, file=name)
+            except Exception as e:   # transient device hiccup: retry once
+                print(f"# {name} a={alpha} d={delta} k={K}{tag}: "
+                      f"RETRY after {type(e).__name__}: {e}",
+                      file=sys.stderr, flush=True)
+                try:
+                    log = pipe.benchmark(A, B, alpha=alpha, delta=delta,
+                                         time_csr_emit=False, file=name)
+                except Exception as e2:   # skip the config, keep the run
+                    print(f"# {name} a={alpha} d={delta} k={K}{tag}: "
+                          f"SKIPPED after second failure "
+                          f"({type(e2).__name__}: {e2})",
+                          file=sys.stderr, flush=True)
+                    return None
             print(f"# {log.file} a={alpha} d={delta} "
                   f"k={K}{tag}: {log.gflops:.0f} GFLOPS "
                   f"({log.sddmm_ms:.3f} ms, dense {log.dense_nnz},"

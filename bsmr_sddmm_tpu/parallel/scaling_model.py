@@ -114,6 +114,60 @@ def predict_weak_scaling(csr: CSR, reord: BsmrReordering,
     )
 
 
+@dataclasses.dataclass
+class LayoutChoice:
+    """Cost-model pick between the two multi-chip B layouts."""
+    layout: str                  # "ring" | "allgather"
+    t_ring_ms: float             # predicted n-device step time, ring
+    t_allgather_ms: float        # predicted step time, all-gather-first
+    prediction_ring: ScalingPrediction
+    prediction_allgather: ScalingPrediction
+
+    def to_dict(self) -> dict:
+        return {"layout": self.layout,
+                "predicted_t_ring_ms": round(self.t_ring_ms, 4),
+                "predicted_t_allgather_ms":
+                    round(self.t_allgather_ms, 4),
+                "ring": self.prediction_ring.to_dict(),
+                "allgather": self.prediction_allgather.to_dict()}
+
+
+def choose_layout(csr: CSR, reord: BsmrReordering, config: SddmmConfig,
+                  n: int, k: Optional[int] = None,
+                  costs: dict = V5E_COSTS,
+                  ici_gbps: float = ICI_RING_GBPS) -> LayoutChoice:
+    """Pick the multi-chip B layout for this matrix: the ppermute ring
+    (B stays sharded, transfers hidden under compute) or the blocking
+    all-gather (full B on every device before compute).
+
+    The ring has no packed (hot-column) tier — it would need a global
+    column permutation of the B rows, which no device holds
+    (parallel/ring.py module docstring: plans leaning on the tier
+    "should prefer the all-gather layout — the cost model's call").
+    This function IS that call: the all-gather arm is priced on the
+    shard plans as packed (packed tier intact, full comm up front); the
+    ring arm on plans packed with the tier off (its nonzeros fall to the
+    gathered/per-nnz tiers, as the ring packer routes them), with each
+    hop overlapped against one panel's compute. Approximation: ring
+    compute is modeled from the row-shard plans, not the ring packer's
+    per-(shard, B-panel) groups — same tiles, coarser grouping."""
+    k = config.k if k is None else k
+    pred_ag = predict_weak_scaling(csr, reord, config, n, k=k,
+                                   costs=costs, ici_gbps=ici_gbps)
+    pred_ring = (pred_ag if not config.subpack_min_nnz else
+                 predict_weak_scaling(csr, reord,
+                                      config.replace(subpack_min_nnz=0),
+                                      n, k=k, costs=costs,
+                                      ici_gbps=ici_gbps))
+    hop_ms = pred_ring.comm_ms / max(n - 1, 1)
+    t_ring = n * max(max(pred_ring.shard_ms) / n, hop_ms)
+    t_ag = pred_ag.comm_ms + max(pred_ag.shard_ms)
+    return LayoutChoice(
+        layout="ring" if t_ring <= t_ag else "allgather",
+        t_ring_ms=t_ring, t_allgather_ms=t_ag,
+        prediction_ring=pred_ring, prediction_allgather=pred_ag)
+
+
 def predict_suite(generators, config: SddmmConfig,
                   ns: Sequence[int] = (2, 4, 8),
                   k: Optional[int] = None,

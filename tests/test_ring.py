@@ -134,6 +134,35 @@ def test_scaling_model_predictions():
     assert pred4.efficiency_overlapped >= 0.8, pred4.to_dict()
 
 
+def test_choose_layout_is_the_cost_models_call():
+    """The ring layout drops the packed (hot-column) tier; choose_layout
+    prices both layouts and picks per matrix. A banded mask (no packed
+    tiles, comm hides under compute) must pick the ring; a hub mask whose
+    packed tier saves more compute than the all-gather costs must pick
+    the all-gather layout when comm is cheap."""
+    from bsmr_sddmm_tpu.datasets import banded as banded_gen, rmat
+    from bsmr_sddmm_tpu.parallel.scaling_model import choose_layout
+    cfg = SddmmConfig(k=128, panel_height=32, delta=0.006,
+                      subpack_min_nnz=12)
+    csr_b = banded_gen(8192, 500000, 96, seed=3)
+    ch_b = choose_layout(csr_b, bsmr(csr_b, cfg), cfg, 4)
+    assert ch_b.layout == "ring", ch_b.to_dict()
+    # hub-heavy power-law mask: packed tier displaces descriptor-bound
+    # work; with near-free ICI the all-gather's comm cost vanishes and
+    # the packed-tier advantage decides
+    csr_h = rmat(14, 200000, seed=5)
+    reord_h = bsmr(csr_h, cfg)
+    ch_free = choose_layout(csr_h, reord_h, cfg, 4, ici_gbps=1e9)
+    ag = max(ch_free.prediction_allgather.shard_ms)
+    ring = max(ch_free.prediction_ring.shard_ms)
+    if ag < ring:   # packed tier is predicted to help this mask
+        assert ch_free.layout == "allgather", ch_free.to_dict()
+    # with the tier disabled both arms price identically -> ring
+    cfg_nosub = cfg.replace(subpack_min_nnz=0)
+    ch_nosub = choose_layout(csr_h, bsmr(csr_h, cfg_nosub), cfg_nosub, 4)
+    assert ch_nosub.layout == "ring"
+
+
 def test_cost_balanced_shards_beat_nnz_on_skewed_mask():
     """On a mask whose tile density varies across row panels (power-law
     style), cost-balanced shard bounds must not be worse than the
