@@ -841,15 +841,20 @@ def _unify_window_groups(plans: list, config: SddmmConfig) -> list:
                     counts, np.bincount(idx, minlength=bases.shape[0]))
         offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         num_g = int(offs[-1])
+        # array length must stay an exact execution-chunk multiple (the
+        # body's _chunk_of falls back to gcd(n, chunk) — an odd total
+        # would collapse the chunk to 1 and explode the traced program)
+        Tg_len = exec_size(num_g, config.bucket_shapes,
+                           config.dense_chunk)
         g_groups = [(int(b), int(offs[i]), int(offs[i + 1]))
                     for i, b in enumerate(bases)]
         for si, p in enumerate(plans):
             sb, order = per_shard[si]
-            g_panel = np.zeros(num_g, np.int32)
-            g_cols = np.empty((num_g, bw), np.int32)
+            g_panel = np.zeros(Tg_len, np.int32)
+            g_cols = np.full((Tg_len, bw), max(N - 1, 0), np.int32)
             for i in range(bases.shape[0]):        # pad cols stay in-window
                 g_cols[offs[i]:offs[i + 1]] = bases[i]
-            g_scatter = np.full((num_g, ph, bw), nnz, np.int32)
+            g_scatter = np.full((Tg_len, ph, bw), nnz, np.int32)
             if sb.size:
                 idx = np.searchsorted(bases, sb)
                 within = np.arange(sb.size) - np.searchsorted(sb, sb)
@@ -917,16 +922,18 @@ def _unify_window_groups(plans: list, config: SddmmConfig) -> list:
                 counts, np.bincount(idx, minlength=len(pairs)))
     offs = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
     num_r = int(offs[-1])
+    # exact execution-chunk multiple (see the gathered-tier note above)
+    E_len = exec_size(num_r, config.bucket_shapes, config.residual_chunk)
     res_groups = [(int(a), int(b), int(offs[i]), int(offs[i + 1]))
                   for i, (a, b) in enumerate(pairs)]
     for si, p in enumerate(plans):
         ks, order = shard_keys[si]
-        res_arow = np.zeros(num_r, np.int32)
-        res_col = np.zeros(num_r, np.int32)
+        res_arow = np.zeros(E_len, np.int32)
+        res_col = np.zeros(E_len, np.int32)
         for i, (a, b) in enumerate(pairs):        # pads stay in-window
             res_arow[offs[i]:offs[i + 1]] = max(a, 0)
             res_col[offs[i]:offs[i + 1]] = max(b, 0)
-        res_out = np.full(num_r, nnz, np.int32)
+        res_out = np.full(E_len, nnz, np.int32)
         if ks.size:
             idx = np.searchsorted(pkeys, ks)
             within = np.arange(ks.size) - np.searchsorted(ks, ks)

@@ -114,6 +114,35 @@ def test_sharded_windowed_plans_match_oracle():
     assert check_data(expected, out).passed
 
 
+def test_sharded_a_side_windows_match_oracle():
+    """Tall masks (A_perm beyond the threshold) window the A side of the
+    per-nnz residual too; the shard-unified (a_base, b_base) pair groups
+    must agree across shards and stay correct."""
+    # per-shard A_perm must itself cross the (shrunken) threshold: a
+    # 2-shard split of 16384 mostly-nonempty rows leaves ~8192 rows x
+    # k=128 x 4 B = 4 MB per shard > 1 MB -> A window 2048 rows; B stays
+    # unwindowed (4096 cols = exactly 2 windows, below the 2x minimum)
+    csr = random_mask(rows=16384, cols=4096, nnz=60000, seed=31,
+                      block_rows=16, block_cols=64)
+    cfg = SddmmConfig(k=128, panel_height=16, dense_chunk=16,
+                      residual_chunk=2048, gather_window_mb=1,
+                      gather_window_threshold_mb=1)
+    mesh = make_mesh(2)
+    reord = bsmr(csr, cfg)
+    fn, dplan, plans = make_sharded_sddmm(csr, reord, cfg, mesh,
+                                          emit="csr")
+    assert plans[0].a_window_rows is not None
+    assert any(a >= 0 for a, _, _, _ in plans[0].res_groups or [])
+    for p in plans[1:]:
+        assert p.res_groups == plans[0].res_groups
+        assert p.a_window_rows == plans[0].a_window_rows
+    A, B = make_ab(csr, cfg.k)
+    Bt = np.ascontiguousarray(B.T)
+    A_dev, Bt_dev = shard_operands(A, Bt, mesh)
+    out = np.asarray(fn(A_dev, Bt_dev, dplan))
+    assert check_data(sddmm_ref(A, B, csr), out).passed
+
+
 def test_shard_operands_divisibility():
     mesh = make_mesh(8)
     A = np.zeros((16, 8), np.float32)
