@@ -189,4 +189,10 @@ def predict_suite(generators, config: SddmmConfig,
                 csr, reord, config, n, k=k,
                 ici_gbps=ici_gbps).to_dict()
             for n in ns}
+        # which B layout the cost model would pick at the largest mesh
+        # (ring keeps B sharded but has no packed tier — choose_layout
+        # docstring)
+        out[name]["layout_choice"] = choose_layout(
+            csr, reord, config, max(ns), k=k,
+            ici_gbps=ici_gbps).to_dict()
     return out

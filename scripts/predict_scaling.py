@@ -30,8 +30,9 @@ def main() -> int:
         if name == "assumptions":
             continue
         effs = {n: p["predicted_efficiency_overlapped"]
-                for n, p in per_n.items()}
-        print(name, effs, flush=True)
+                for n, p in per_n.items() if n != "layout_choice"}
+        print(name, effs,
+              "layout:", per_n["layout_choice"]["layout"], flush=True)
     return 0
 
 
