@@ -101,6 +101,14 @@ class SddmmConfig:
     # 512-byte-granule rate — the crossover is ~residual_tile_min_nnz
     # nonzeros per tile (measured on TPU v5e).
     residual_mode: str = "gathered"   # "gathered" | "pernnz"
+    # Gathered-tile execution arm. "xla": one take() row gather + batched
+    # matmul (serialized gather -> matmul at the descriptor wall,
+    # PERF.md). "fused": the pallas in-kernel-DMA kernel
+    # (ops/pallas_dense.make_fused_gathered_kernel) — per-tile row DMAs
+    # double-buffered under the previous tile's MXU matmul. Opt-in until
+    # the hardware probe (scripts/probe_fused_gathered.py) proves it out;
+    # unwindowed plans only (windowed plans keep the xla arm).
+    gathered_backend: str = "xla"     # "xla" | "fused"
     # Minimum nonzeros a gathered 128-col chunk must cover to become a
     # tile. Measured v5e rates: a gathered tile costs ~530 ns (128-row
     # B-gather at the ~584M-descriptors/s rate + 16 KB output + MXU) vs
@@ -194,6 +202,9 @@ class SddmmConfig:
         if self.residual_mode not in ("gathered", "pernnz"):
             raise ValueError(
                 f"unknown residual_mode {self.residual_mode!r}")
+        if self.gathered_backend not in ("xla", "fused"):
+            raise ValueError(
+                f"unknown gathered_backend {self.gathered_backend!r}")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.matmul_precision not in ("default", "bf16x3", "high",

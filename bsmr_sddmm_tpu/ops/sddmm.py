@@ -351,6 +351,19 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
 
     Tg = plan.g_panel.shape[0]
 
+    fused_gathered = None
+    if (config.gathered_backend == "fused" and Tg
+            and plan.g_groups is None):
+        # opt-in pallas arm: per-tile row DMAs issued in-kernel, double-
+        # buffered under the previous tile's matmul (see
+        # SddmmConfig.gathered_backend; probe_fused_gathered.py measures
+        # it against the xla arm before adoption)
+        from bsmr_sddmm_tpu.ops.pallas_dense import (
+            make_fused_gathered_kernel)
+        fused_gathered = make_fused_gathered_kernel(
+            num_panels=max(num_panels, 1), ph=ph, bw=bw, k=k,
+            precision=config.matmul_precision, interpret=interpret)
+
     def gathered_out_fn(A_panels, Bt, dplan):
         """Compute all gathered-column tiles -> (Tg, ph, bw).
 
@@ -392,6 +405,12 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
             if tail:
                 parts.append(jnp.zeros((tail, ph, bw), out_dt))
             return jnp.concatenate(parts, axis=0)
+
+        if fused_gathered is not None:
+            # in-kernel DMA gather overlapped with the MXU (opt-in arm)
+            return fused_gathered(
+                A_panels.astype(jnp.float32), Bt,
+                dplan.g_panel, dplan.g_cols.reshape(-1)).astype(out_dt)
 
         if Tg * bw * k * 4 <= budget_bytes:
             # single-shot: one row gather + one batched matmul (measured

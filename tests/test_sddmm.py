@@ -45,6 +45,23 @@ def test_pallas_backend_matches_oracle(tiny_mask, mode):
     assert res.passed, str(res)
 
 
+def test_fused_gathered_arm_matches_oracle(small_mask):
+    """gathered_backend="fused" (in-kernel DMA row gathers, interpret
+    mode on CPU) must produce the same values as the default xla arm."""
+    cfg = SddmmConfig(k=32, panel_height=16, delta=1.1,
+                      gathered_backend="fused",
+                      residual_tile_min_nnz=8,
+                      dense_chunk=32, residual_chunk=1024)
+    from bsmr_sddmm_tpu.pack import pack_tiles
+    from bsmr_sddmm_tpu.reorder import bsmr
+    plan = pack_tiles(small_mask, bsmr(small_mask, cfg), cfg)
+    assert plan.num_gathered > 0, "mask must form gathered tiles"
+    A, B = make_ab(small_mask, cfg.k)
+    out = sddmm(A, B, small_mask, cfg)
+    res = check_data(sddmm_ref(A, B, small_mask), out)
+    assert res.passed, str(res)
+
+
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
 @pytest.mark.parametrize("delta", [0.0, 0.3, 1.1])
 def test_fp16_emission_matches_oracle(small_mask, delta, backend):
