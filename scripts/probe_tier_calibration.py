@@ -1,0 +1,103 @@
+"""Per-tier hardware timing of the cost model's divergent cells.
+
+The offline audit (scripts/audit_cost_model.py over the committed r2
+replica logs, results/v5e_r4/cost_model_audit.json) shows three
+systematic misses beyond the known K=32 banded anomaly: opt-regime
+(TSOPF block-dense) cells underpriced 3-7.6x at every K, K=256
+underpriced across regimes (geomean measured/est 1.37), and the 150us
+fixed floor overpricing sub-0.1ms matrices ~3x. This probe measures the
+per-tier split (`benchmark(tier_times=True)`) on the worst audit cells
+so the misses can be attributed to a tier and fitted.
+
+Usage: python scripts/probe_tier_calibration.py \
+    [--audit results/v5e_r4/cost_model_audit.json] \
+    [--out results/v5e_r4/tier_calibration.json] [--top 10]
+"""
+import argparse
+import json
+import math
+import os
+import sys
+
+
+def pick_cells(audit: dict, top: int):
+    """Worst |log ratio| cells overall plus each K's worst, deduped by
+    (matrix, k) — one delta per pair is enough to attribute the miss."""
+    rows = [r for r in audit["rows"] if r.get("ratio")]
+    rows.sort(key=lambda r: -abs(math.log(r["ratio"])))
+    picked, seen = [], set()
+    per_k_worst = {}
+    for r in rows:
+        per_k_worst.setdefault(r["k"], r)
+    for r in list(per_k_worst.values()) + rows:
+        key = (r["matrix"], r["k"])
+        if key in seen:
+            continue
+        seen.add(key)
+        picked.append(r)
+        if len(picked) >= top:
+            break
+    return picked
+
+
+def main() -> int:
+    from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
+    tune_malloc()   # packing is allocation-bound here (PERF.md)
+    p = argparse.ArgumentParser()
+    p.add_argument("--audit",
+                   default="results/v5e_r4/cost_model_audit.json")
+    p.add_argument("--out",
+                   default="results/v5e_r4/tier_calibration.json")
+    p.add_argument("--dataset-dir", default="/tmp/replica_dataset")
+    p.add_argument("--top", type=int, default=10)
+    args = p.parse_args()
+
+    from bsmr_sddmm_tpu.autotune import estimate_plan_ms
+    from bsmr_sddmm_tpu.config import SddmmConfig
+    from bsmr_sddmm_tpu.formats import make_dense
+    from bsmr_sddmm_tpu.replicas import load_manifest, make_replica_cached
+    from bsmr_sddmm_tpu.sddmm import BsmrSddmm
+
+    audit = json.load(open(args.audit))
+    cells = pick_cells(audit, args.top)
+    specs = {s.name: s for s in load_manifest()}
+    out_rows = []
+    pipes = {}
+    for c in cells:
+        spec = specs[c["matrix"]]
+        if c["matrix"] not in pipes:
+            csr = make_replica_cached(spec, args.dataset_dir)
+            pipes[c["matrix"]] = BsmrSddmm(
+                csr, SddmmConfig(k=c["k"], panel_height=32,
+                                 subpack_min_nnz=0, reorder_cache=True))
+        pipe = pipes[c["matrix"]]
+        csr = pipe.csr
+        A = make_dense(csr.rows, c["k"], seed=1337)
+        B = make_dense(c["k"], csr.cols, seed=1338)
+        log = pipe.benchmark(A, B, alpha=c["alpha"], delta=c["delta"],
+                             tier_times=True, time_csr_emit=False,
+                             file=c["matrix"])
+        plan = pipe.plan(c["alpha"], c["delta"], k=c["k"])
+        row = {"matrix": c["matrix"], "regime": c["regime"],
+               "k": c["k"], "alpha": c["alpha"], "delta": c["delta"],
+               "audit_ratio": c["ratio"],
+               "measured_ms": log.sddmm_ms,
+               "est_ms": round(estimate_plan_ms(plan), 4),
+               "tiles": int(plan.tile_panel.shape[0]),
+               "fat_group": int(plan.fat_group),
+               "gathered": int(plan.num_gathered),
+               "residual": int(plan.num_residual),
+               **{key: log.extras.get(key) for key in
+                  ("tier_dense_ms", "tier_packed_ms",
+                   "tier_gathered_ms", "tier_residual_ms",
+                   "tier_overlap_efficiency")}}
+        out_rows.append(row)
+        print(json.dumps(row), flush=True)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out_rows, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
