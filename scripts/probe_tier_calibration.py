@@ -93,6 +93,43 @@ def main() -> int:
                    "tier_overlap_efficiency")}}
         out_rows.append(row)
         print(json.dumps(row), flush=True)
+    # --- fat-group sweep on the worst dense-heavy cell ------------------
+    # If the dense tier carries the miss, is it per-STEP matmul
+    # efficiency (cost should fall as G grows: bigger (G*ph, K) x
+    # (K, bw) matmuls) or B-block locality (G-independent)? Time the
+    # dense tier alone at forced G values.
+    dense_heavy = [r for r in out_rows
+                   if r.get("tier_dense_ms")
+                   and float(r["tier_dense_ms"]) > 0.5 * r["measured_ms"]]
+    if dense_heavy:
+        import jax.numpy as jnp
+        from bsmr_sddmm_tpu.ops.sddmm import device_plan, make_sddmm_body
+        from bsmr_sddmm_tpu.pack import pack_tiles
+        from bsmr_sddmm_tpu.utils.timing import time_tier_inprogram
+        r0 = max(dense_heavy, key=lambda r: r["audit_ratio"])
+        pipe = pipes[r0["matrix"]]
+        csr = pipe.csr
+        reord = pipe.reorder(r0["alpha"], r0["delta"])
+        A = jnp.asarray(make_dense(csr.rows, r0["k"], seed=1337))
+        Bt = jnp.asarray(make_dense(csr.cols, r0["k"], seed=1338))
+        sweep = []
+        for G in (1, 4, 8, 16, 32):
+            plan = pack_tiles(csr, reord, pipe.config, k=r0["k"],
+                              fat_group_override=G)
+            if plan.fat_group != G:
+                continue
+            body = make_sddmm_body(plan, pipe.config, only_tier="dense")
+            ms = time_tier_inprogram(body, A, Bt, device_plan(plan),
+                                     opaque=False)
+            sweep.append({"G": G,
+                          "tiles": int(plan.tile_panel.shape[0]),
+                          "dense_ms": round(ms, 4),
+                          "ns_per_tile": round(
+                              ms * 1e6 / plan.tile_panel.shape[0], 1)})
+            print(json.dumps(sweep[-1]), flush=True)
+        out_rows.append({"matrix": r0["matrix"], "k": r0["k"],
+                         "alpha": r0["alpha"], "delta": r0["delta"],
+                         "fat_group_sweep": sweep})
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out_rows, f, indent=1)
