@@ -78,19 +78,40 @@ def main() -> int:
                              tier_times=True, time_csr_emit=False,
                              file=c["matrix"])
         plan = pipe.plan(c["alpha"], c["delta"], k=c["k"])
+        # Host-side structural features: exact dense-tier DMA traffic.
+        # The CPU pre-analysis (PERF.md round 4) shows the worst TSOPF
+        # cells move K-scaled bytes at an implied ~30 GB/s if the dense
+        # tier carries the whole miss — 20x below stream rate, i.e. a
+        # latency/pipelining problem, not a bandwidth misprice. These
+        # fields let the fit distinguish the two on every probed cell.
+        T = int(plan.tile_panel.shape[0])
+        sc = plan.step_cblock
+        refetch = (1 + int((sc[1:] != sc[:-1]).sum())
+                   if sc is not None else T)
+        ph, bw = plan.panel_height, plan.block_width
+        dense_bytes = (T * ph * c["k"] * 4          # A panel DMAs
+                       + refetch * bw * c["k"] * 4  # B block DMAs
+                       + T * ph * bw * 4)           # out tiles
         row = {"matrix": c["matrix"], "regime": c["regime"],
                "k": c["k"], "alpha": c["alpha"], "delta": c["delta"],
                "audit_ratio": c["ratio"],
                "measured_ms": log.sddmm_ms,
                "est_ms": round(estimate_plan_ms(plan), 4),
-               "tiles": int(plan.tile_panel.shape[0]),
+               "tiles": T,
                "fat_group": int(plan.fat_group),
+               "steps": T // max(int(plan.fat_group), 1),
+               "b_refetches": refetch,
+               "dense_dma_mb": round(dense_bytes / 1e6, 1),
+               "num_panels": int(plan.num_panels),
                "gathered": int(plan.num_gathered),
                "residual": int(plan.num_residual),
                **{key: log.extras.get(key) for key in
                   ("tier_dense_ms", "tier_packed_ms",
                    "tier_gathered_ms", "tier_residual_ms",
                    "tier_overlap_efficiency")}}
+        if row.get("tier_dense_ms"):
+            row["dense_implied_gbps"] = round(
+                dense_bytes / 1e6 / float(row["tier_dense_ms"]), 1)
         out_rows.append(row)
         print(json.dumps(row), flush=True)
     # --- fat-group sweep on the worst dense-heavy cell ------------------
@@ -127,9 +148,21 @@ def main() -> int:
                           "ns_per_tile": round(
                               ms * 1e6 / plan.tile_panel.shape[0], 1)})
             print(json.dumps(sweep[-1]), flush=True)
+        # Pallas-vs-XLA A/B on the same dense tier: if the XLA arm is
+        # materially faster here, the miss is a Mosaic pipelining
+        # problem on this plan geometry and the body should flip arms
+        # (both arms exist behind SddmmConfig.backend).
+        plan = pipes[r0["matrix"]].plan(r0["alpha"], r0["delta"],
+                                        k=r0["k"])
+        xla_body = make_sddmm_body(plan, pipe.config, backend="xla",
+                                   only_tier="dense")
+        xla_ms = time_tier_inprogram(xla_body, A, Bt, device_plan(plan),
+                                     opaque=False)
+        print(json.dumps({"xla_dense_ms": round(xla_ms, 4)}), flush=True)
         out_rows.append({"matrix": r0["matrix"], "k": r0["k"],
                          "alpha": r0["alpha"], "delta": r0["delta"],
-                         "fat_group_sweep": sweep})
+                         "fat_group_sweep": sweep,
+                         "xla_dense_ms": round(xla_ms, 4)})
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out_rows, f, indent=1)
