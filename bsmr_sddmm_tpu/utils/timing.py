@@ -146,6 +146,25 @@ def time_jitted(fn: Callable, *args, iterations: int = 10,
     return max(ms, 1e-6), result
 
 
+def _perturb_row0(A, c):
+    """Carry-dependent one-row perturbation: a fresh array VALUE each
+    iteration (so the loop body cannot be hoisted or CSE'd) at the cost
+    of one (1, K) dynamic-update-slice — NOT a full elementwise pass.
+
+    The old harness used ``A * (1.0 + c)``, which streams the whole A
+    (read + write) every rep. The reference times ONLY its two kernel
+    launches per iteration (src/sddmmKernel.cu:2563-2652, matrixA
+    untouched between iters), so that extra stream was a pure harness
+    artifact — ~70-100 us/rep at M~50k, K=128, DOMINATING sub-0.1 ms
+    matrices (skirt measured 0.077 ms total). Like the old scale, the
+    multiplier rounds to exactly 1.0 in fp32 (c ~ 1e-37): hoisting is
+    blocked by the data dependence on the carry, not by the value, and
+    validation-tolerance drift is zero."""
+    row0 = jax.lax.dynamic_slice_in_dim(A, 0, 1, 0)
+    row0 = (row0 * (1.0 + c)).astype(A.dtype)
+    return jax.lax.dynamic_update_slice_in_dim(A, row0, 0, 0)
+
+
 def time_tier_inprogram(body: Callable, A, Bt, dplan,
                         opaque: bool = False,
                         target_s: float = 0.15,
@@ -156,16 +175,19 @@ def time_tier_inprogram(body: Callable, A, Bt, dplan,
     output is an opaque pallas_call, full sum otherwise)."""
     def make_rep(reps: int):
         def fn(A, Bt, dplan):
-            def step(_, c):
-                out = body(A * (1.0 + c), Bt, dplan)
+            def step(_, carry):
+                A_c, c = carry
+                A_c = _perturb_row0(A_c, c)
+                out = body(A_c, Bt, dplan)
                 # fp32 probes regardless of the body's out_dtype (an
                 # fp16 sum overflows; fp16 * 1e-30 underflows to 0)
                 probe = ((out.ravel()[0]
                           + out.ravel()[-1]).astype(jnp.float32)
                          if opaque
                          else jnp.sum(out, dtype=jnp.float32) * 1e-30)
-                return probe * 1e-37
-            return jax.lax.fori_loop(0, reps, step, jnp.float32(0.0))
+                return A_c, probe * 1e-37
+            return jax.lax.fori_loop(0, reps, step,
+                                     (A, jnp.float32(0.0)))[1]
         return jax.jit(fn)
 
     def timed_batches(fn_rep, reps, n_batches=2):
@@ -200,20 +222,24 @@ def time_rphm_inprogram(body: Callable, A, Bt, dplan,
     honest way to time sub-millisecond kernels over a ~26 ms RTT link.
 
     Hoisting/DCE hardening (both verified to bite on this platform):
-    * the loop carry perturbs A each iteration (`A * (1 + c)`), so the
-      body is not loop-invariant and cannot be hoisted;
+    * the loop carries A and perturbs ONE row per iteration through a
+      carry-dependent dynamic-update-slice (see _perturb_row0), so the
+      body is not loop-invariant and cannot be hoisted — without the
+      old full `A * (1 + c)` stream per rep, which charged the kernel
+      ~2 x |A| bytes of harness artifact the reference's timed region
+      (two kernel launches, src/sddmmKernel.cu:2563-2652) never pays;
     * the carry consumes every output tier: the gathered and residual
       tiers via full sums (XLA could legally narrow a sliced dot), the
       dense tier via one element when it is an opaque pallas_call
       (partial consumption still runs the whole kernel) or a full sum
       otherwise.
-    The A-scale adds one stream of A per rep — a small, *conservative*
-    inflation (reported time can only be an overestimate).
     """
     def make_rep(reps: int):
         def fn(A, Bt, dplan):
-            def step(_, c):
-                d, p, g, r = body(A * (1.0 + c), Bt, dplan)
+            def step(_, carry):
+                A_c, c = carry
+                A_c = _perturb_row0(A_c, c)
+                d, p, g, r = body(A_c, Bt, dplan)
                 # opaque pallas outputs (dense + packed tiers on the
                 # pallas backend): one element keeps the whole call
                 # alive; XLA tiers take full sums (a sliced dot can be
@@ -229,9 +255,9 @@ def time_rphm_inprogram(body: Callable, A, Bt, dplan,
                 s = (probe * 1e-30 + pprobe * 1e-30
                      + jnp.sum(g, dtype=jnp.float32) * 1e-30
                      + jnp.sum(r, dtype=jnp.float32))
-                return s * 1e-37
+                return A_c, s * 1e-37
             return jax.lax.fori_loop(0, reps, step,
-                                     jnp.float32(0.0))
+                                     (A, jnp.float32(0.0)))[1]
         return jax.jit(fn)
 
     def timed_batches(fn_rep, reps, n_batches=2):
