@@ -603,3 +603,46 @@ def test_inprogram_timer_runs_on_cpu():
                              dense_opaque=False, target_s=0.01,
                              iterations=2)
     assert ms > 0
+
+
+def test_perturb_row0_semantics():
+    """The timer's carry perturbation must touch ONLY row 0, preserve
+    dtype, and stay within validation tolerance (the multiplier rounds
+    to exactly 1.0 in fp32 for the ~1e-37 carries the loop feeds it)."""
+    import jax.numpy as jnp
+    from bsmr_sddmm_tpu.utils.timing import _perturb_row0
+
+    A = jnp.asarray(np.random.default_rng(0).normal(size=(64, 32)),
+                    jnp.float32)
+    out = _perturb_row0(A, jnp.float32(1e-37))
+    assert out.dtype == A.dtype
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(A))
+    out16 = _perturb_row0(A.astype(jnp.float16), jnp.float32(1e-3))
+    assert out16.dtype == jnp.float16
+    np.testing.assert_array_equal(np.asarray(out16[1:]),
+                                  np.asarray(A.astype(jnp.float16)[1:]))
+
+
+def test_timer_loop_carries_a_in_place():
+    """The reps loop must not copy A per iteration: the whole point of
+    the row-0 perturbation (vs the old full `A * (1 + c)` stream) is
+    that the carried A aliases its buffer across iterations. Guard the
+    property in optimized HLO: at most one full-A copy (loop entry),
+    none inside the while body."""
+    import jax
+    import jax.numpy as jnp
+    from bsmr_sddmm_tpu.utils.timing import _perturb_row0
+
+    def fn(A, B):
+        def step(_, carry):
+            A_c, c = carry
+            A_c = _perturb_row0(A_c, c)
+            return A_c, jnp.sum(A_c @ B, dtype=jnp.float32) * 1e-37
+        return jax.lax.fori_loop(0, 8, step, (A, jnp.float32(0.0)))[1]
+
+    A = jnp.ones((512, 128), jnp.float32)
+    B = jnp.ones((128, 64), jnp.float32)
+    txt = jax.jit(fn).lower(A, B).compile().as_text()
+    n_copies = sum(1 for line in txt.splitlines()
+                   if "copy(" in line and "f32[512,128]" in line)
+    assert n_copies <= 1, f"{n_copies} full-A copies in optimized HLO"
