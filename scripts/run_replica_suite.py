@@ -58,6 +58,12 @@ def main() -> int:
                         "sweep stops after the current matrix (never "
                         "kill the process mid-device-call — a killed "
                         "call wedges the device tunnel)")
+    p.add_argument("--auto-arm", action="store_true",
+                   help="also run the autotuner's own (alpha, delta, "
+                        "subpack) pick per matrix as an extra arm in "
+                        "the same log - suite-scale evidence for the "
+                        "adaptive path (fraction-of-swept-best is "
+                        "printed per matrix)")
     p.add_argument("--fp16-arm", action="store_true",
                    help="after the config sweep, re-run each matrix's "
                         "best config with out_dtype=float16 (validated "
@@ -199,6 +205,32 @@ def main() -> int:
                     print(f"[{i+1}/{len(specs)} {s.name} a={alpha} "
                           f"d={delta} sub={sub}] FAILED: {e!r}",
                           flush=True)
+        if args.auto_arm:
+            # the autotuner's own pick as one more arm in the same log:
+            # suite-scale evidence for the adaptive path (reference
+            # behavior is the hardware test-mode sweep; ours prices the
+            # (alpha, delta, subpack) grid host-side). Runs with
+            # subpack candidates enabled regardless of the swept grid.
+            try:
+                pipe_auto = BsmrSddmm(csr, base_cfg.replace(
+                    subpack_min_nnz=12))
+                pipe_auto._row_cache = pipe0._row_cache
+                loga = with_retry(
+                    lambda: pipe_auto.benchmark(
+                        A, B, alpha="auto", delta="auto",
+                        validate=False, time_csr_emit=False, file=name),
+                    f"{s.name} auto")
+                with open(logpath, "a") as f:
+                    f.write(loga.to_text())
+                frac = (loga.gflops / best_run[0]
+                        if best_run and best_run[0] else float("nan"))
+                if best_run is None or loga.gflops > best_run[0]:
+                    best_run = (loga.gflops, loga.alpha, loga.delta, 12)
+                print(f"    auto a={loga.alpha} d={loga.delta}: "
+                      f"{loga.gflops:.0f} GFLOPS "
+                      f"({frac:.2f}x of swept best)", flush=True)
+            except Exception as e:
+                print(f"    auto FAILED: {e!r}", flush=True)
         if args.fp16_arm and best_run is not None:
             # fp16-emission arm on the matrix's best config, VALIDATED —
             # per-matrix hardware evidence that the narrow store passes
