@@ -34,6 +34,17 @@ _PRECISION = {
 }
 
 
+def _mosaic_out(out_dtype):
+    """Mosaic's TPU dialect has no f16 type (hardware-verified: 'Unsupported
+    type in mosaic dialect: f16'), so fp16-emission kernels write fp32 and
+    the wrapper casts outside the pallas_call (an XLA convert).  The fp16
+    arm's DMA saving then lives in the downstream emit/scatter path, not in
+    the kernel's own output write.  Returns (kernel_dtype, needs_cast)."""
+    if jnp.dtype(out_dtype) == jnp.float16:
+        return jnp.float32, True
+    return out_dtype, False
+
+
 def _tile_matmul(a, b, precision: str):
     """(ph, K) x (bw, K) -> (ph, bw), contracting K.
 
@@ -81,11 +92,12 @@ def make_bsr_dense_kernel(num_panels: int, ph: int, bw: int, k: int,
     MXU-wide natural blocks plus row clustering get density for free.
     """
     n_cblocks = -(-n_cols // bw)
+    kdt, cast_out = _mosaic_out(out_dtype)
 
     def kernel(panel_ref, cblock_ref, a_ref, b_ref, out_ref):
         # a_ref: (1, ph, K); b_ref: (bw, K); out_ref: (1, ph, bw)
         out_ref[0] = _tile_matmul(a_ref[0], b_ref[:],
-                                  precision).astype(out_dtype)
+                                  precision).astype(kdt)
 
     def fn(A_panels: jax.Array, Bt: jax.Array, tile_panel: jax.Array,
            tile_cblock: jax.Array) -> jax.Array:
@@ -108,16 +120,17 @@ def make_bsr_dense_kernel(num_panels: int, ph: int, bw: int, k: int,
                                    lambda t, panel_ref, cblock_ref:
                                    (t, 0, 0)),
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((T, ph, bw), out_dtype),
+            out_shape=jax.ShapeDtypeStruct((T, ph, bw), kdt),
             cost_estimate=pl.CostEstimate(
                 flops=2 * T * ph * bw * k,
                 bytes_accessed=4 * T * (ph * k + bw * k + ph * bw),
                 transcendentals=0),
             interpret=interpret,
         )(tile_panel, tile_cblock, A_panels, Bt)
+        return out.astype(out_dtype) if cast_out else out
 
     return fn
 
@@ -132,11 +145,13 @@ def make_dense_tile_kernel(num_panels: int, ph: int, bw: int, k: int,
     b_tiles:  (chunk, bw, K) fp32 — gathered B columns, row-major in K.
     tile_panel: (chunk,) int32 — panel id per tile (scalar-prefetched).
     """
+    kdt, cast_out = _mosaic_out(out_dtype)
+
     def kernel(panel_ref, a_ref, b_ref, out_ref):
         # a_ref: (1, ph, K) — the tile's panel, selected by index_map
         # b_ref: (1, bw, K); out_ref: (1, ph, bw)
         out_ref[0] = _tile_matmul(a_ref[0], b_ref[0],
-                                  precision).astype(out_dtype)
+                                  precision).astype(kdt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -157,7 +172,7 @@ def make_dense_tile_kernel(num_panels: int, ph: int, bw: int, k: int,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((chunk, ph, bw), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((chunk, ph, bw), kdt),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=interpret,
@@ -165,7 +180,8 @@ def make_dense_tile_kernel(num_panels: int, ph: int, bw: int, k: int,
 
     def fn(A_panels: jax.Array, b_tiles: jax.Array,
            tile_panel: jax.Array) -> jax.Array:
-        return call(tile_panel, A_panels, b_tiles)
+        out = call(tile_panel, A_panels, b_tiles)
+        return out.astype(out_dtype) if cast_out else out
 
     return fn
 
@@ -195,6 +211,7 @@ def make_subpack_kernel(num_panels: int, ph: int, bw: int, k: int,
     rises ~S-fold at near-constant per-tile bytes."""
     n_sb = -(-n_cols // sw)
     S = bw // sw
+    kdt, cast_out = _mosaic_out(out_dtype)
 
     def kernel(panel_ref, sub_ref, *refs):
         a_ref = refs[0]
@@ -202,7 +219,7 @@ def make_subpack_kernel(num_panels: int, ph: int, bw: int, k: int,
         out_ref = refs[1 + S]
         b = jnp.concatenate([br[:] for br in b_refs], axis=0)  # (bw, K)
         out_ref[0] = _tile_matmul(a_ref[0], b,
-                                  precision).astype(out_dtype)
+                                  precision).astype(kdt)
 
     def fn(A_panels: jax.Array, Bt: jax.Array, sp_panel: jax.Array,
            sp_sub: jax.Array) -> jax.Array:
@@ -230,16 +247,17 @@ def make_subpack_kernel(num_panels: int, ph: int, bw: int, k: int,
                                    lambda t, panel_ref, sub_ref:
                                    (t, 0, 0)),
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((Tp, ph, bw), out_dtype),
+            out_shape=jax.ShapeDtypeStruct((Tp, ph, bw), kdt),
             cost_estimate=pl.CostEstimate(
                 flops=3 * 2 * Tp * ph * bw * k,
                 bytes_accessed=4 * Tp * (ph * k + bw * k + ph * bw),
                 transcendentals=0),
             interpret=interpret,
         )(sp_panel, sp_sub_flat, A_panels, *([Bt] * S))
+        return out.astype(out_dtype) if cast_out else out
 
     return fn
 
@@ -347,13 +365,14 @@ def make_bsr_fat_kernel(num_panels: int, ph: int, bw: int, k: int,
     (measured ~130 ns/tile -> ~25-70 ns/tile at G=8)."""
     n_cblocks = -(-n_cols // bw)
     G = fat_group
+    kdt, cast_out = _mosaic_out(out_dtype)
 
     def kernel(panel_ref, cblock_ref, *refs):
         a_refs = refs[:G]
         b_ref, out_ref = refs[G], refs[G + 1]
         a = jnp.concatenate([ar[0] for ar in a_refs], axis=0)  # (G*ph, K)
         out_ref[0] = _tile_matmul(a, b_ref[:],
-                                  precision).astype(out_dtype)
+                                  precision).astype(kdt)
 
     def fn(A_panels: jax.Array, Bt: jax.Array, tile_panel: jax.Array,
            step_cblock: jax.Array) -> jax.Array:
@@ -382,8 +401,7 @@ def make_bsr_fat_kernel(num_panels: int, ph: int, bw: int, k: int,
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_steps, G * ph, bw),
-                                           out_dtype),
+            out_shape=jax.ShapeDtypeStruct((n_steps, G * ph, bw), kdt),
             cost_estimate=pl.CostEstimate(
                 flops=3 * 2 * T * ph * bw * k,
                 bytes_accessed=4 * T * (ph * k + ph * bw)
@@ -391,6 +409,7 @@ def make_bsr_fat_kernel(num_panels: int, ph: int, bw: int, k: int,
                 transcendentals=0),
             interpret=interpret,
         )(tile_panel, step_cblock, *([A_panels] * G), Bt)
-        return out.reshape(T, ph, bw)
+        out = out.reshape(T, ph, bw)
+        return out.astype(out_dtype) if cast_out else out
 
     return fn
