@@ -136,8 +136,13 @@ def main() -> int:
             return log.gflops
 
         for K in sorted(KS, key=lambda k: k != 128):   # K=128 first
-            A = make_dense(csr.rows, K, seed=1337)
-            B = make_dense(K, csr.cols, seed=1338)
+            # upload A/Bt ONCE per (matrix, K): the axon tunnel retains
+            # every h2d byte in host RSS (see ops.sddmm.device_plan), so
+            # per-config re-uploads OOM a long sweep
+            import jax.numpy as jnp
+            A = jnp.asarray(make_dense(csr.rows, K, seed=1337))
+            B = jnp.asarray(np.ascontiguousarray(
+                make_dense(K, csr.cols, seed=1338).T))   # (N, K)
             per_matrix = 0.0
             if K == 128 or os.environ.get("BENCH_FULL_GRID"):
                 combos = [(a, c) for a in alphas for c in CONFIGS]

@@ -144,7 +144,11 @@ def benchmark_baseline(name: str, csr: CSR, A: np.ndarray, B: np.ndarray,
     baseline drivers emit the same [key : value] records their analyzer
     parses, scripts/test_FlashSparse.py:208-213)."""
     k = A.shape[1]
-    Bt = np.ascontiguousarray(B.T) if B.shape[0] == k else B
+    if B.shape[0] == k:
+        Bt = B.T if isinstance(B, jax.Array) else \
+            np.ascontiguousarray(B.T)
+    else:
+        Bt = B
     fn = make_baseline_fn(name, csr, k)
     ms, out = time_jitted(fn, jnp.asarray(A), jnp.asarray(Bt),
                           iterations=iterations)
@@ -159,7 +163,9 @@ def benchmark_baseline(name: str, csr: CSR, A: np.ndarray, B: np.ndarray,
     if validate:
         from bsmr_sddmm_tpu.ops.sddmm import sddmm_ref
         from bsmr_sddmm_tpu.utils.checkdata import check_data
-        expected = sddmm_ref(A, B if B.shape[0] == k else B.T, csr)
+        A_np = np.asarray(A)
+        B_np = np.asarray(B if B.shape[0] == k else B.T)
+        expected = sddmm_ref(A_np, B_np, csr)
         res = check_data(expected, np.asarray(out))
         log.check_result = "pass" if res.passed else "fail"
         log.error_rate = res.error_rate

@@ -66,38 +66,55 @@ class DevicePlan(NamedTuple):
     rphm_to_csr: jax.Array       # (nnz,) int32 (empty in shard-local plans)
 
 
-def device_plan(plan: TilePlan) -> DevicePlan:
+def device_plan(plan: TilePlan, emit: str = "csr") -> DevicePlan:
+    """Upload a TilePlan's arrays (reference h2d: BSMR.cpp:252-264).
+
+    ``emit="rphm"`` uploads only what the rphm-emit body reads and
+    replaces the five output-placement maps (tile/sp/g scatter, res_out,
+    rphm_to_csr) with empty arrays: those maps are >95% of a plan's
+    bytes ((T, ph, bw) int32 = 16 KB/tile vs 4 B/tile of gather ids) and
+    the rphm hot path never touches them. This matters doubly on the
+    axon tunnel, where every h2d upload's bytes are retained in host RSS
+    for the life of the process (platform leak, measured round 4:
+    244 MB retained per 256 MB upload; d2h is clean) — a full-grid sweep
+    uploading full plans OOM-killed a 125 GB host."""
     if plan.mode != "bsr":
         tile_src = plan.tile_cols
     elif plan.fat_group > 1:
         tile_src = plan.step_cblock       # one cblock per fat step
     else:
         tile_src = plan.tile_cblock
+    light = emit == "rphm"
+    empty = np.zeros(0, np.int32)
+
+    def maps(arr, fallback_shape=(0,)):
+        if light:
+            return jnp.asarray(empty)
+        if arr is None:
+            return jnp.asarray(np.zeros(fallback_shape, np.int32))
+        return jnp.asarray(arr)
+
     return DevicePlan(
         row_perm_padded=jnp.asarray(plan.row_perm_padded),
         tile_panel=jnp.asarray(plan.tile_panel),
         tile_src=jnp.asarray(tile_src),
-        tile_scatter=jnp.asarray(plan.tile_scatter),
+        tile_scatter=maps(plan.tile_scatter),
         sp_panel=jnp.asarray(plan.sp_panel if plan.sp_panel is not None
                              else np.zeros(0, np.int32)),
         sp_sub=jnp.asarray(plan.sp_sub if plan.sp_sub is not None
                            else np.zeros((0, 1), np.int32)),
-        sp_scatter=jnp.asarray(
-            plan.sp_scatter if plan.sp_scatter is not None
-            else np.zeros((0, plan.panel_height, plan.block_width),
-                          np.int32)),
+        sp_scatter=maps(plan.sp_scatter,
+                        (0, plan.panel_height, plan.block_width)),
         sp_colperm=jnp.asarray(
             plan.sp_colperm if plan.sp_colperm is not None
             else np.zeros(0, np.int32)),
         g_panel=jnp.asarray(plan.g_panel),
         g_cols=jnp.asarray(plan.g_cols),
-        g_scatter=jnp.asarray(plan.g_scatter),
+        g_scatter=maps(plan.g_scatter),
         res_arow=jnp.asarray(plan.res_arow),
         res_col=jnp.asarray(plan.res_col),
-        res_out=jnp.asarray(plan.res_out),
-        rphm_to_csr=jnp.asarray(
-            plan.rphm_to_csr if plan.rphm_to_csr is not None
-            else np.zeros(0, np.int32)),
+        res_out=maps(plan.res_out),
+        rphm_to_csr=maps(plan.rphm_to_csr),
     )
 
 

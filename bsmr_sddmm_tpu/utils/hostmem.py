@@ -29,3 +29,15 @@ def tune_malloc(threshold_bytes: int = 1 << 30) -> bool:
         return bool(ok)
     except OSError:
         return False
+
+
+def rss_gb() -> float:
+    """Current process resident set size in GiB (axon-tunnel sweeps leak
+    every h2d upload's bytes into RSS — see ops.sddmm.device_plan — so
+    long runners check this between matrices and exit for a clean
+    restart instead of being OOM-killed mid-device-call)."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS"):
+                return int(line.split()[1]) / (1 << 20)
+    return 0.0

@@ -55,7 +55,7 @@ def main() -> int:
             for delta in args.deltas:
                 plan = pipe.plan(0.3, delta, k=K)
                 body = make_sddmm_body(plan, cfg, emit="rphm")
-                dplan = device_plan(plan)
+                dplan = device_plan(plan, emit="rphm")
                 if Z == 1:
                     from bsmr_sddmm_tpu.utils.timing import \
                         time_rphm_inprogram

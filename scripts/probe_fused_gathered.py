@@ -36,7 +36,7 @@ def main() -> int:
             continue
         A = jnp.asarray(make_dense(csr.rows, k, seed=1))
         Bt = jnp.asarray(make_dense(csr.cols, k, seed=2))
-        dplan = device_plan(plan)
+        dplan = device_plan(plan, emit="rphm")
 
         # XLA baseline: only_tier="gathered"
         body = make_sddmm_body(plan, cfg, only_tier="gathered")

@@ -47,7 +47,7 @@ def main() -> int:
         A = jnp.asarray(make_dense(csr.rows, k, seed=1))
         Bt = jnp.asarray(make_dense(csr.cols, k, seed=2))
         opaque = backend == "pallas" and tier in ("packed", "dense")
-        ms = time_tier_inprogram(body, A, Bt, device_plan(plan),
+        ms = time_tier_inprogram(body, A, Bt, device_plan(plan, emit="rphm"),
                                  opaque=opaque)
         return dict(ms=ms, units=units, nnz=nnzs,
                     ns_per_unit=ms * 1e6 / units,

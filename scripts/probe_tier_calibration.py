@@ -140,7 +140,8 @@ def main() -> int:
             if plan.fat_group != G:
                 continue
             body = make_sddmm_body(plan, pipe.config, only_tier="dense")
-            ms = time_tier_inprogram(body, A, Bt, device_plan(plan),
+            ms = time_tier_inprogram(body, A, Bt,
+                                     device_plan(plan, emit="rphm"),
                                      opaque=False)
             sweep.append({"G": G,
                           "tiles": int(plan.tile_panel.shape[0]),
@@ -156,7 +157,8 @@ def main() -> int:
                                         k=r0["k"])
         xla_body = make_sddmm_body(plan, pipe.config, backend="xla",
                                    only_tier="dense")
-        xla_ms = time_tier_inprogram(xla_body, A, Bt, device_plan(plan),
+        xla_ms = time_tier_inprogram(xla_body, A, Bt,
+                                     device_plan(plan, emit="rphm"),
                                      opaque=False)
         print(json.dumps({"xla_dense_ms": round(xla_ms, 4)}), flush=True)
         out_rows.append({"matrix": r0["matrix"], "k": r0["k"],

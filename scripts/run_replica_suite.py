@@ -71,6 +71,13 @@ def main() -> int:
                         "<log-dir>_fp16 so the analyzer never mixes "
                         "them with the fp32 bsmr method")
     p.add_argument("-k", type=int, default=128)
+    p.add_argument("--max-rss-gb", type=float, default=80.0,
+                   help="exit 3 (clean resume point) when host RSS "
+                        "exceeds this between matrices: the axon tunnel "
+                        "retains every h2d byte in RSS (platform leak, "
+                        "PERF.md round 4), so long sweeps must recycle "
+                        "the process; scripts/run_suite_resumable.sh "
+                        "relaunches while rc==3")
     args = p.parse_args()
 
     from bsmr_sddmm_tpu.formats import save_mtx
@@ -113,6 +120,9 @@ def main() -> int:
     from bsmr_sddmm_tpu.formats import make_dense
     from bsmr_sddmm_tpu.sddmm import BsmrSddmm
 
+    import numpy as np
+    import jax.numpy as jnp
+
     K = args.k
     n_fail = 0
 
@@ -143,10 +153,20 @@ def main() -> int:
             print(f"[{i+1}/{len(specs)} {s.name}] skip (log exists)",
                   flush=True)
             continue
+        from bsmr_sddmm_tpu.utils.hostmem import rss_gb
+        rss = rss_gb()
+        if rss > args.max_rss_gb:
+            print(f"RSS {rss:.1f} GB > {args.max_rss_gb} GB after "
+                  f"{i}/{len(specs)} matrices; exiting 3 for a clean "
+                  f"restart (resume skips existing logs)", flush=True)
+            return 3
         t0 = time.time()
         csr = make_replica_cached(s, args.dataset_dir)
-        A = make_dense(csr.rows, K, seed=1337)
-        B = make_dense(K, csr.cols, seed=1338)
+        # ONE h2d upload per matrix (axon retains every uploaded byte
+        # in host RSS; benchmark() accepts device-resident operands)
+        A = jnp.asarray(make_dense(csr.rows, K, seed=1337))
+        B = jnp.asarray(np.ascontiguousarray(
+            make_dense(K, csr.cols, seed=1338).T))   # (N, K)
         base_cfg = SddmmConfig(k=K, panel_height=32, num_iterations=10,
                                reorder_cache=True)
         pipes = {sub: BsmrSddmm(csr, base_cfg.replace(subpack_min_nnz=sub))

@@ -646,3 +646,58 @@ def test_timer_loop_carries_a_in_place():
     n_copies = sum(1 for line in txt.splitlines()
                    if "copy(" in line and "f32[512,128]" in line)
     assert n_copies <= 1, f"{n_copies} full-A copies in optimized HLO"
+
+
+def test_light_device_plan_matches_full_on_rphm():
+    """device_plan(emit="rphm") drops the five output-placement maps
+    (>95% of plan bytes — the axon h2d-leak mitigation, PERF.md round 4)
+    and the rphm body must produce identical tiers with either plan."""
+    import jax.numpy as jnp
+    from bsmr_sddmm_tpu.ops.sddmm import device_plan, make_sddmm_body
+    from bsmr_sddmm_tpu.pack import pack_tiles
+    from bsmr_sddmm_tpu.reorder import bsmr
+
+    from bsmr_sddmm_tpu.config import SddmmConfig
+    csr = random_mask(256, 384, 4000, seed=9, block_rows=16,
+                      block_cols=64)
+    cfg = SddmmConfig(k=32, panel_height=16, dense_chunk=16,
+                      residual_chunk=1024)
+    plan = pack_tiles(csr, bsmr(csr, cfg), cfg)
+    light = device_plan(plan, emit="rphm")
+    assert light.tile_scatter.size == 0
+    assert light.rphm_to_csr.size == 0
+    body = make_sddmm_body(plan, cfg, emit="rphm")
+    A = jnp.asarray(make_dense(csr.rows, 32, seed=1))
+    Bt = jnp.asarray(make_dense(csr.cols, 32, seed=2))
+    full_out = body(A, Bt, device_plan(plan))
+    light_out = body(A, Bt, light)
+    for a, b in zip(full_out, light_out):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_benchmark_accepts_device_resident_operands():
+    """Sweep drivers upload A/Bt once per (matrix, K) and pass jax
+    arrays; benchmark must transpose device-side, validate against the
+    fp64 oracle, and produce the same pass verdict as the numpy path."""
+    import jax.numpy as jnp
+    from bsmr_sddmm_tpu.sddmm import BsmrSddmm
+
+    from bsmr_sddmm_tpu.config import SddmmConfig
+    csr = random_mask(256, 384, 4000, seed=11, block_rows=16,
+                      block_cols=64)
+    cfg = SddmmConfig(k=32, panel_height=16, dense_chunk=16,
+                      residual_chunk=1024, num_iterations=2)
+    A_np = make_dense(csr.rows, 32, seed=1337)
+    B_np = make_dense(32, csr.cols, seed=1338)
+    pipe = BsmrSddmm(csr, cfg)
+    # (N, K) pre-transposed device array — the sweep drivers' layout
+    log_dev = pipe.benchmark(jnp.asarray(A_np),
+                             jnp.asarray(np.ascontiguousarray(B_np.T)),
+                             alpha=0.3, delta=0.02, validate=True,
+                             time_csr_emit=False, file="dev")
+    assert log_dev.check_result == "pass"
+    # (K, N) device array exercises the device-side transpose branch
+    log_kn = pipe.benchmark(jnp.asarray(A_np), jnp.asarray(B_np),
+                            alpha=0.3, delta=0.02, validate=True,
+                            time_csr_emit=False, file="kn")
+    assert log_kn.check_result == "pass"
