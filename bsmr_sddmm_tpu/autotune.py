@@ -58,8 +58,13 @@ V5E_COSTS = dict(
     # K-independent up to K=256 (descriptor-bound)
     pernnz_base_ns=5.8,
     pernnz_k_ns=0.0,
+    # windowed residual (past the >64MB gather cliff): measured 45 ns/nnz
+    # at K=256 on banded_mesh_64k (round-4 tier probe,
+    # results/v5e_r4/k32_anomaly_tiers.json: 3.8 ms over 85k nnz) vs the
+    # round-3 flat 9 ns — window slicing makes the per-nnz gathers
+    # K-byte-bound, so the big arm carries a real K slope
     pernnz_big_base_ns=9.0,
-    pernnz_big_k_ns=0.0,
+    pernnz_big_k_ns=0.14,
     fixed_us=150.0,           # dispatch / A-permute / padding floor
     mxu_tflops=55.0,          # bf16x3 effective fp32-class matmul rate
     stream_gbps=645.0,        # contiguous HBM read+write

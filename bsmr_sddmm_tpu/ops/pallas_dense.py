@@ -294,7 +294,8 @@ def make_fused_gathered_kernel(num_panels: int, ph: int, bw: int, k: int,
                     b_buf.at[slot, pl.ds(i, 1)],
                     sems.at[slot]).start()
                 return 0
-            jax.lax.fori_loop(0, bw, body, 0, unroll=8)
+            # Mosaic's for-loop lowering supports only unroll=1 or full
+            jax.lax.fori_loop(0, bw, body, 0, unroll=1)
 
         def wait(slot):
             def body(i, _):
@@ -303,7 +304,7 @@ def make_fused_gathered_kernel(num_panels: int, ph: int, bw: int, k: int,
                     b_buf.at[slot, pl.ds(i, 1)],
                     sems.at[slot]).wait()
                 return 0
-            jax.lax.fori_loop(0, bw, body, 0, unroll=8)
+            jax.lax.fori_loop(0, bw, body, 0, unroll=1)
 
         @pl.when(t == 0)
         def _():
