@@ -109,6 +109,18 @@ def _affine(costs: dict, prefix: str, k: int) -> float:
     return costs[f"{prefix}_base_ns"] + costs[f"{prefix}_k_ns"] * k
 
 
+#: Row-gather operands at/past ~48 MB run near the >64 MB gather-cliff
+#: rate even without windowing: banded_mesh_64k K=256 (B exactly 64 MB,
+#: unwindowed) measures 45-48 ns per residual nonzero vs the 5.8 ns
+#: small-operand rate (results/v5e_r4/k32_anomaly_tiers.json). Price
+#: those plans with the _big arms too.
+BIG_GATHER_BYTES = 48 << 20
+
+
+def _big_gather_footprint(plan: TilePlan) -> bool:
+    return plan.cols * plan.k * 4 >= BIG_GATHER_BYTES
+
+
 def estimate_plan_ms(plan: TilePlan,
                      costs: dict = V5E_COSTS,
                      out_dtype: str = "float32") -> float:
@@ -122,7 +134,7 @@ def estimate_plan_ms(plan: TilePlan,
     halves the store, shifting the delta optimum slightly toward more
     tiles."""
     k = plan.k
-    big = plan.window_rows is not None
+    big = plan.window_rows is not None or _big_gather_footprint(plan)
     out_save_ns = 0.0
     if out_dtype == "float16":
         out_save_ns = (plan.panel_height * plan.block_width * 2

@@ -109,6 +109,17 @@ class SddmmConfig:
     # the hardware probe (scripts/probe_fused_gathered.py) proves it out;
     # unwindowed plans only (windowed plans keep the xla arm).
     gathered_backend: str = "xla"     # "xla" | "fused"
+    # Serialize the four tiers with lax.optimization_barrier inside the
+    # fused program. Round-4 hardware finding
+    # (results/v5e_r4/tier_serialize.json): XLA's free interleaving of
+    # the tiers is PATHOLOGICAL on windowed plans with a dominant
+    # residual tier — banded_mesh_64k K=256 d=0.002 runs 1.98x faster
+    # serialized (15.9 -> 8.1 ms) — while plans where fusion overlaps
+    # well (TSOPF 1.9-8x, windowed d=0.006 1.5x) must stay fused.
+    # "auto" serializes exactly windowed plans whose residual tier is
+    # the predicted-dominant cost (the measured discriminator); "on" /
+    # "off" force either arm. Bools are accepted as on/off.
+    tier_serialize: object = "auto"   # "auto" | "on" | "off" | bool
     # Minimum nonzeros a gathered 128-col chunk must cover to become a
     # tile. Measured v5e rates: a gathered tile costs ~530 ns (128-row
     # B-gather at the ~584M-descriptors/s rate + 16 KB output + MXU) vs
@@ -205,6 +216,9 @@ class SddmmConfig:
         if self.gathered_backend not in ("xla", "fused"):
             raise ValueError(
                 f"unknown gathered_backend {self.gathered_backend!r}")
+        if self.tier_serialize not in ("auto", "on", "off", True, False):
+            raise ValueError(
+                f"unknown tier_serialize {self.tier_serialize!r}")
         if self.backend not in ("auto", "xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.matmul_precision not in ("default", "bf16x3", "high",

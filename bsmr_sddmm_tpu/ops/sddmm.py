@@ -118,6 +118,38 @@ def device_plan(plan: TilePlan, emit: str = "csr") -> DevicePlan:
     )
 
 
+def _serialize_tiers(plan: TilePlan, config: SddmmConfig) -> bool:
+    """Decide the tier_serialize arm (see SddmmConfig.tier_serialize).
+
+    "auto" = big-gather-footprint plan (windowed, or B at/past ~48 MB
+    — the near-cliff regime) whose residual tier is the predicted-
+    dominant cost: the measured discriminator for XLA's fusion
+    pathology (banded_mesh_64k K=256 d=0.002 runs 1.98x faster
+    serialized; its d=0.006 sibling and every small-footprint control
+    prefer fusion — results/v5e_r4/tier_serialize.json)."""
+    mode = config.tier_serialize
+    if mode in (True, "on"):
+        return True
+    if mode in (False, "off"):
+        return False
+    from bsmr_sddmm_tpu.autotune import (_big_gather_footprint,
+                                         current_costs, estimate_plan_ms)
+    if plan.window_rows is None and not _big_gather_footprint(plan):
+        return False
+    costs = current_costs()
+    k = plan.k
+    res_ms = plan.num_residual * (
+        costs["pernnz_big_base_ns"]
+        + costs["pernnz_big_k_ns"] * k) / 1e6
+    total_ms = max(estimate_plan_ms(plan, costs)
+                   - costs["fixed_us"] / 1e3, 1e-9)
+    # 0.45 splits the two measured K=256 banded cells: d=0.002 (share
+    # 0.49, serialize wins 1.98x) vs d=0.006 (share 0.40, fusion wins
+    # 1.5x). Conservative on purpose — a wrong serialize costs more than
+    # a missed one; force with tier_serialize="on" to experiment.
+    return res_ms / total_ms > 0.45
+
+
 def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
                     backend: Optional[str] = None,
                     emit: str = "csr",
@@ -507,10 +539,27 @@ def make_sddmm_body(plan: TilePlan, config: SddmmConfig,
             return gathered_out_fn(A_panels, Bt, dplan)
         if only_tier == "residual":
             return res_vals_fn(A_perm, Bt, dplan)
-        dense_out = dense_out_fn(A_panels, Bt, dplan)
-        packed_out = packed_out_fn(A_panels, Bt, dplan)
-        gathered_out = gathered_out_fn(A_panels, Bt, dplan)
-        res_vals = res_vals_fn(A_perm, Bt, dplan)
+        if _serialize_tiers(plan, config):
+            # force tier-at-a-time scheduling: XLA's free interleaving of
+            # the tiers is pathological on windowed residual-dominant
+            # plans (1.98x measured, PERF.md round 4); the barrier
+            # threads each tier's output into the next tier's operands
+            # so the compiler cannot overlap them
+            dense_out = dense_out_fn(A_panels, Bt, dplan)
+            dense_out, A_panels, Bt = jax.lax.optimization_barrier(
+                (dense_out, A_panels, Bt))
+            packed_out = packed_out_fn(A_panels, Bt, dplan)
+            packed_out, A_panels, Bt = jax.lax.optimization_barrier(
+                (packed_out, A_panels, Bt))
+            gathered_out = gathered_out_fn(A_panels, Bt, dplan)
+            gathered_out, A_perm, Bt = jax.lax.optimization_barrier(
+                (gathered_out, A_perm, Bt))
+            res_vals = res_vals_fn(A_perm, Bt, dplan)
+        else:
+            dense_out = dense_out_fn(A_panels, Bt, dplan)
+            packed_out = packed_out_fn(A_panels, Bt, dplan)
+            gathered_out = gathered_out_fn(A_panels, Bt, dplan)
+            res_vals = res_vals_fn(A_perm, Bt, dplan)
         if emit == "rphm":
             # four tiers, four arrays — NEVER concatenated (gluing the
             # packed tier onto the dense output would copy the whole

@@ -166,3 +166,24 @@ def test_windowed_gather_matches_oracle():
     out0 = np.asarray(fn0(jnp.asarray(A), jnp.asarray(Bt),
                           device_plan(plan0)))
     np.testing.assert_allclose(out, out0, rtol=1e-5)
+
+
+def test_tier_serialize_matches_default(small_mask, cfg):
+    """The optimization_barrier chain (tier_serialize arm, round-4
+    fusion-pathology finding) is a scheduling hint only — outputs must
+    be bit-identical to the freely-fused body."""
+    import jax.numpy as jnp
+    from bsmr_sddmm_tpu.formats import make_dense
+    from bsmr_sddmm_tpu.ops.sddmm import device_plan, make_sddmm_body
+    from bsmr_sddmm_tpu.pack import pack_tiles
+    from bsmr_sddmm_tpu.reorder import bsmr
+
+    plan = pack_tiles(small_mask, bsmr(small_mask, cfg), cfg)
+    A = jnp.asarray(make_dense(small_mask.rows, cfg.k, seed=5))
+    Bt = jnp.asarray(make_dense(small_mask.cols, cfg.k, seed=6))
+    dplan = device_plan(plan, emit="rphm")
+    base = make_sddmm_body(plan, cfg, emit="rphm")(A, Bt, dplan)
+    ser = make_sddmm_body(plan, cfg.replace(tier_serialize=True),
+                          emit="rphm")(A, Bt, dplan)
+    for a, b in zip(base, ser):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
