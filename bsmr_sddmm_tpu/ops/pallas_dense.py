@@ -34,15 +34,81 @@ _PRECISION = {
 }
 
 
+def _f32_to_f16_bits(x):
+    """f32 -> IEEE binary16 bit pattern as int16 (round-to-nearest-even,
+    subnormals, inf/NaN), in pure int32 arithmetic. Bit-exact against
+    numpy over 450k values incl. specials (tests/test_sddmm.py).
+
+    Kept as the tested reference for the in-kernel fp16-store idea,
+    which hardware REFUTED (see _mosaic_out): Mosaic takes int16 stores
+    and f32<->i32 bitcasts, but the i16 output relayout costs more than
+    the halved store bytes save."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    sign16 = jax.lax.shift_right_logical(bits, 16) & jnp.int32(0x8000)
+    absb = bits & jnp.int32(0x7FFFFFFF)
+    is_nan = absb > jnp.int32(0x7F800000)
+    # normal/overflow path (f32 exp >= 113): rebias to f16, RNE on the
+    # 13 dropped bits; the round carry walks into the exponent naturally
+    # and overflow saturates to +inf via the clamp below
+    rebias = absb - jnp.int32(0x38000000)
+    rnd = (rebias + jnp.int32(0xFFF)
+           + (jax.lax.shift_right_logical(rebias, 13) & 1))
+    norm16 = jnp.minimum(jax.lax.shift_right_logical(rnd, 13),
+                         jnp.int32(0x7C00))
+    # subnormal path (f32 exp < 113): implicit-one mantissa shifted by
+    # (126 - exp) with RNE; a round-up into 0x400 is the smallest normal
+    # and the bit pattern stays correct
+    exp = jax.lax.shift_right_logical(absb, 23)
+    man = (absb & jnp.int32(0x7FFFFF)) | jnp.int32(0x800000)
+    sh = jnp.clip(jnp.int32(126) - exp, 1, 31)
+    half = jax.lax.shift_left(jnp.int32(1), sh - 1)
+    q = jax.lax.shift_right_logical(man, sh)
+    sub16 = jax.lax.shift_right_logical(
+        man + half - 1 + (q & 1), sh)
+    h = jnp.where(absb < jnp.int32(0x38800000), sub16, norm16)
+    h = jnp.where(is_nan, jnp.int32(0x7E00), h)
+    return (sign16 | h).astype(jnp.int16)
+
+
 def _mosaic_out(out_dtype):
-    """Mosaic's TPU dialect has no f16 type (hardware-verified: 'Unsupported
-    type in mosaic dialect: f16'), so fp16-emission kernels write fp32 and
-    the wrapper casts outside the pallas_call (an XLA convert).  The fp16
-    arm's DMA saving then lives in the downstream emit/scatter path, not in
-    the kernel's own output write.  Returns (kernel_dtype, needs_cast)."""
+    """Mosaic has no f16 type, so fp16-emission kernels write fp32 and
+    the wrapper casts outside the pallas_call. The in-kernel alternative
+    — store IEEE f16 BIT PATTERNS as int16 (_f32_to_f16_bits) — was
+    REFUTED on hardware round 4: 1.8-2.1x slower than fp32 even with
+    the cheap FTZ variant, because Mosaic's i16 output relayout
+    (2-per-register repacking of the (ph, bw) f32 result) overwhelms
+    the halved store bytes. Returns (kernel_dtype, needs_cast)."""
     if jnp.dtype(out_dtype) == jnp.float16:
         return jnp.float32, True
     return out_dtype, False
+
+
+def _f32_to_f16_bits_ftz(x):
+    """Cheap in-kernel f32->f16 bits: RNE normals + overflow clamp, and
+    FLUSH-TO-ZERO for |x| < 2^-14 (~10 VPU ops, no per-lane variable
+    shifts). FTZ is exact for the SDDMM domain: reference-semantics
+    fills are uniform [0,2), so every emitted value is a sum of K
+    non-negative products — provably never in the f16 subnormal range.
+    The full-IEEE _f32_to_f16_bits stays as the tested reference."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    sign16 = jax.lax.shift_right_logical(bits, 16) & jnp.int32(0x8000)
+    absb = bits & jnp.int32(0x7FFFFFFF)
+    rnd = (absb + jnp.int32(0xFFF)
+           + (jax.lax.shift_right_logical(absb, 13) & 1)
+           - jnp.int32(0x38000000))
+    h = jnp.minimum(jax.lax.shift_right_logical(rnd, 13),
+                    jnp.int32(0x7C00))
+    h = jnp.where(absb < jnp.int32(0x38800000), jnp.int32(0), h)
+    return (sign16 | h).astype(jnp.int16)
+
+
+def _emit(result_f32, kdt):
+    """Kernel-side output emission (see _mosaic_out)."""
+    return result_f32.astype(kdt)
+
+
+def _from_mosaic(out, out_dtype, cast_out):
+    return out.astype(out_dtype) if cast_out else out
 
 
 def _tile_matmul(a, b, precision: str):
@@ -96,8 +162,8 @@ def make_bsr_dense_kernel(num_panels: int, ph: int, bw: int, k: int,
 
     def kernel(panel_ref, cblock_ref, a_ref, b_ref, out_ref):
         # a_ref: (1, ph, K); b_ref: (bw, K); out_ref: (1, ph, bw)
-        out_ref[0] = _tile_matmul(a_ref[0], b_ref[:],
-                                  precision).astype(kdt)
+        out_ref[0] = _emit(_tile_matmul(a_ref[0], b_ref[:], precision),
+                           kdt)
 
     def fn(A_panels: jax.Array, Bt: jax.Array, tile_panel: jax.Array,
            tile_cblock: jax.Array) -> jax.Array:
@@ -130,7 +196,7 @@ def make_bsr_dense_kernel(num_panels: int, ph: int, bw: int, k: int,
                 transcendentals=0),
             interpret=interpret,
         )(tile_panel, tile_cblock, A_panels, Bt)
-        return out.astype(out_dtype) if cast_out else out
+        return _from_mosaic(out, out_dtype, cast_out)
 
     return fn
 
@@ -150,8 +216,8 @@ def make_dense_tile_kernel(num_panels: int, ph: int, bw: int, k: int,
     def kernel(panel_ref, a_ref, b_ref, out_ref):
         # a_ref: (1, ph, K) — the tile's panel, selected by index_map
         # b_ref: (1, bw, K); out_ref: (1, ph, bw)
-        out_ref[0] = _tile_matmul(a_ref[0], b_ref[0],
-                                  precision).astype(kdt)
+        out_ref[0] = _emit(_tile_matmul(a_ref[0], b_ref[0], precision),
+                           kdt)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -181,7 +247,7 @@ def make_dense_tile_kernel(num_panels: int, ph: int, bw: int, k: int,
     def fn(A_panels: jax.Array, b_tiles: jax.Array,
            tile_panel: jax.Array) -> jax.Array:
         out = call(tile_panel, A_panels, b_tiles)
-        return out.astype(out_dtype) if cast_out else out
+        return _from_mosaic(out, out_dtype, cast_out)
 
     return fn
 
@@ -218,8 +284,7 @@ def make_subpack_kernel(num_panels: int, ph: int, bw: int, k: int,
         b_refs = refs[1:1 + S]
         out_ref = refs[1 + S]
         b = jnp.concatenate([br[:] for br in b_refs], axis=0)  # (bw, K)
-        out_ref[0] = _tile_matmul(a_ref[0], b,
-                                  precision).astype(kdt)
+        out_ref[0] = _emit(_tile_matmul(a_ref[0], b, precision), kdt)
 
     def fn(A_panels: jax.Array, Bt: jax.Array, sp_panel: jax.Array,
            sp_sub: jax.Array) -> jax.Array:
@@ -257,7 +322,7 @@ def make_subpack_kernel(num_panels: int, ph: int, bw: int, k: int,
                 transcendentals=0),
             interpret=interpret,
         )(sp_panel, sp_sub_flat, A_panels, *([Bt] * S))
-        return out.astype(out_dtype) if cast_out else out
+        return _from_mosaic(out, out_dtype, cast_out)
 
     return fn
 
@@ -372,8 +437,7 @@ def make_bsr_fat_kernel(num_panels: int, ph: int, bw: int, k: int,
         a_refs = refs[:G]
         b_ref, out_ref = refs[G], refs[G + 1]
         a = jnp.concatenate([ar[0] for ar in a_refs], axis=0)  # (G*ph, K)
-        out_ref[0] = _tile_matmul(a, b_ref[:],
-                                  precision).astype(kdt)
+        out_ref[0] = _emit(_tile_matmul(a, b_ref[:], precision), kdt)
 
     def fn(A_panels: jax.Array, Bt: jax.Array, tile_panel: jax.Array,
            step_cblock: jax.Array) -> jax.Array:
@@ -411,6 +475,6 @@ def make_bsr_fat_kernel(num_panels: int, ph: int, bw: int, k: int,
             interpret=interpret,
         )(tile_panel, step_cblock, *([A_panels] * G), Bt)
         out = out.reshape(T, ph, bw)
-        return out.astype(out_dtype) if cast_out else out
+        return _from_mosaic(out, out_dtype, cast_out)
 
     return fn

@@ -187,3 +187,32 @@ def test_tier_serialize_matches_default(small_mask, cfg):
                           emit="rphm")(A, Bt, dplan)
     for a, b in zip(base, ser):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_f32_to_f16_bits_matches_numpy():
+    """The int-arithmetic f16 converters (kept as the tested reference
+    for the refuted in-kernel fp16-store idea, ops/pallas_dense.py) must
+    be bit-exact vs numpy — full version everywhere, FTZ version on
+    non-subnormal values."""
+    from bsmr_sddmm_tpu.ops.pallas_dense import (_f32_to_f16_bits,
+                                                 _f32_to_f16_bits_ftz)
+
+    rng = np.random.default_rng(0)
+    xs = np.concatenate([
+        rng.normal(0, 1, 50000).astype(np.float32),
+        rng.normal(0, 500, 20000).astype(np.float32),
+        (rng.normal(0, 1, 20000) * 1e-5).astype(np.float32),
+        np.array([0.0, -0.0, 65504.0, 65520.0, 1e30, -1e30,
+                  np.inf, -np.inf, np.nan, 6.2e-5, 5.9e-5, 6e-8,
+                  2048.0, 2049.0, 2050.0], dtype=np.float32),
+    ])
+    got = np.asarray(_f32_to_f16_bits(xs)).view(np.float16)
+    want = xs.astype(np.float16)
+    both_nan = np.isnan(got) & np.isnan(want)
+    np.testing.assert_array_equal(got.view(np.int16)[~both_nan],
+                                  want.view(np.int16)[~both_nan])
+    normal = np.abs(xs) >= 6.2e-5
+    got_ftz = np.asarray(_f32_to_f16_bits_ftz(xs[normal])) \
+        .view(np.float16)
+    np.testing.assert_array_equal(got_ftz.view(np.int16),
+                                  want[normal].view(np.int16))
