@@ -54,6 +54,8 @@ def main(argv=None) -> int:
 
     from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
     tune_malloc()   # packing is allocation-bound on this host (PERF.md)
+    from bsmr_sddmm_tpu.utils.compilecache import enable_compile_cache
+    enable_compile_cache()   # reuse XLA executables across runs
     from bsmr_sddmm_tpu.autotune import choose_config, choose_delta
     from bsmr_sddmm_tpu.config import SddmmConfig
     from bsmr_sddmm_tpu.datasets import SUITE

@@ -43,6 +43,8 @@ def pick_cells(audit: dict, top: int):
 def main() -> int:
     from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
     tune_malloc()   # packing is allocation-bound here (PERF.md)
+    from bsmr_sddmm_tpu.utils.compilecache import enable_compile_cache
+    enable_compile_cache()   # reuse XLA executables across runs
     p = argparse.ArgumentParser()
     p.add_argument("--audit",
                    default="results/v5e_r4/cost_model_audit.json")

@@ -17,6 +17,8 @@ import sys
 def main() -> int:
     from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
     tune_malloc()
+    from bsmr_sddmm_tpu.utils.compilecache import enable_compile_cache
+    enable_compile_cache()   # reuse XLA executables across runs
     import jax.numpy as jnp
 
     from bsmr_sddmm_tpu.config import SddmmConfig

@@ -86,6 +86,8 @@ def main() -> int:
                                          select_suite)
     from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
     tune_malloc()   # packing is allocation-bound on this host (PERF.md)
+    from bsmr_sddmm_tpu.utils.compilecache import enable_compile_cache
+    enable_compile_cache()   # reuse XLA executables across runs
 
     if args.deltas is not None:
         configs = [(d, 12) for d in args.deltas]

@@ -15,6 +15,8 @@ import tempfile
 def main() -> int:
     from bsmr_sddmm_tpu.utils.hostmem import tune_malloc
     tune_malloc()   # packing is allocation-bound here (PERF.md)
+    from bsmr_sddmm_tpu.utils.compilecache import enable_compile_cache
+    enable_compile_cache()   # reuse XLA executables across runs
     import jax
     import numpy as np
 
