@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(prices the full alpha x delta x subpack grid, "
                         "the reference test-mode sweep host-side; "
                         "implies --auto-delta)")
+    p.add_argument("--refine-top", type=int, default=0,
+                   help="with --auto-alpha/--auto-delta: re-time the N "
+                        "best-priced plans on the device and pick the "
+                        "measured argmin (fused-schedule overlap the "
+                        "host-side cost model cannot see)")
     return p
 
 
@@ -96,7 +101,8 @@ def main(argv=None) -> int:
                       subblock_width=args.subblock_width,
                       out_dtype=args.out_dtype,
                       reorder_cache=args.reorder_cache,
-                      num_iterations=args.iterations)
+                      num_iterations=args.iterations,
+                      autotune_refine_top=args.refine_top)
     pipe = BsmrSddmm(csr, cfg)
 
     if args.log_dir:

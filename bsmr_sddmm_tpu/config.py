@@ -186,6 +186,13 @@ class SddmmConfig:
 
     # --- benchmark --------------------------------------------------------
     num_iterations: int = 10     # timing iterations (reference Options.hpp:39)
+    # Measured autotune refinement: with alpha="auto"/delta="auto", time
+    # the N best-priced plans in-program on the device and pick the
+    # measured argmin (autotune.choose_config refine_top). The affine
+    # cost model cannot see fused-schedule overlap (0.4-8x swing,
+    # PERF.md); N=3 recovers the reference's sweep-on-hardware pick
+    # quality at ~3 candidate timings. 0 = pure host-side estimate.
+    autotune_refine_top: int = 0
 
     def __post_init__(self) -> None:
         if self.k % 8 != 0:

@@ -66,18 +66,23 @@ class BsmrSddmm:
         reord = dataclasses.replace(base)
         return split_columns(self.csr, reord, cfg, delta=delta)
 
-    def choose(self, alpha=None, k: Optional[int] = None):
+    def choose(self, alpha=None, k: Optional[int] = None,
+               refine_top: int = 0):
         """Full autotune decision: best tiled plan across the delta
         candidates (autotune.DeltaChoice), or — with ``alpha="auto"`` —
         across the whole (alpha, delta, subpack) grid
         (autotune.ConfigChoice, the reference's test-mode sweep priced
         host-side); either may instead pick the dense-fallback tier when
         the cost model says a masked full matmul wins (near-uniform
-        masks)."""
+        masks). ``refine_top=N`` re-times the N best-priced plans on
+        the device and picks the measured argmin (autotune.choose_config)
+        — the fused-schedule overlap the affine model cannot see."""
         if alpha == "auto":
             from bsmr_sddmm_tpu.autotune import choose_config
             return choose_config(self.csr, self._row_reordering,
-                                 self.config, k=k or self.config.k)
+                                 self.config, k=k or self.config.k,
+                                 refine_top=(refine_top or
+                                             self.config.autotune_refine_top))
         from bsmr_sddmm_tpu.autotune import choose_delta
         base = self._row_reordering(alpha)
         return choose_delta(self.csr, base, self.config,

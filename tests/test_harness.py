@@ -701,3 +701,28 @@ def test_benchmark_accepts_device_resident_operands():
                             alpha=0.3, delta=0.02, validate=True,
                             time_csr_emit=False, file="kn")
     assert log_kn.check_result == "pass"
+
+
+def test_choose_config_refine_top_cpu_keeps_estimate_order():
+    """refine_top plumbs through on CPU without changing the pick: the
+    in-program timer's assumptions don't hold off-device, so
+    _refine_measure returns None and the estimate argmin stands. Also
+    pins the kept-list trimming: the pick with refine_top=4 (which
+    retains only the 4 best plans while scanning) equals the
+    refine_top=0 full-scan pick."""
+    from bsmr_sddmm_tpu.autotune import choose_config
+    from bsmr_sddmm_tpu.config import SddmmConfig
+    from bsmr_sddmm_tpu.sddmm import BsmrSddmm
+    csr = random_mask(8192, 8192, 120000, seed=23, block_rows=32,
+                      block_cols=128, block_fill=0.8, shuffle_rows=True)
+    cfg = SddmmConfig(k=32, panel_height=16, subpack_min_nnz=12)
+    pipe = BsmrSddmm(csr, cfg)
+    base = choose_config(csr, pipe._row_reordering, cfg)
+    refined = choose_config(csr, pipe._row_reordering, cfg, refine_top=4)
+    assert (refined.alpha, refined.delta, refined.subpack) == \
+        (base.alpha, base.delta, base.subpack)
+    assert refined.estimated_ms == base.estimated_ms
+    # config-level wiring: autotune_refine_top reaches choose()
+    pipe2 = BsmrSddmm(csr, cfg.replace(autotune_refine_top=4))
+    choice2 = pipe2.choose(alpha="auto")
+    assert (choice2.alpha, choice2.delta) == (base.alpha, base.delta)
