@@ -245,23 +245,30 @@ def choose_config(csr: CSR, row_reorder_fn, config: SddmmConfig,
     skipped: identical perms mean identical plans at every delta (banded
     matrices cluster the same at every alpha).
 
-    ``refine_top=N`` (N >= 2, device runs only) re-times the N
-    best-priced tiled plans IN-PROGRAM on the device and picks the
-    measured argmin. The affine sum-of-tiers model cannot see the fused
-    XLA schedule's overlap, which swings 0.4-8x with plan geometry
-    (PERF.md rounds 4-5): measured refinement is the reference's own
-    answer (its test mode times every config on hardware,
-    src/sddmm.cu:62-118) at a fraction of the sweep cost — candidate
-    executables come from the persistent compile cache after the first
-    run. The dense-fallback arm still competes by estimate only."""
+    ``refine_top=N`` (N >= 2, device runs only) re-times candidate
+    plans IN-PROGRAM on the device and picks the measured argmin. The
+    affine sum-of-tiers model cannot see the fused XLA schedule's
+    overlap, which swings 0.4-8x with plan geometry (PERF.md rounds
+    4-5): measured refinement is the reference's own answer (its test
+    mode times every config on hardware, src/sddmm.cu:62-118) at a
+    fraction of the sweep cost — candidate executables come from the
+    persistent compile cache after the first run. The candidate set is
+    DIVERSIFIED, not top-N-by-estimate: the best-priced plan of each
+    (delta, subpack) family, N families by family-best estimate. The
+    model's within-family (alpha) ordering is reliable; its
+    cross-family comparison is exactly where the overlap bias lives
+    (measured round 5: a top-3-by-estimate set drawn from one delta
+    family left a 2x-better other-family plan untimed,
+    results/v5e_r5/refine_pick.json). The dense-fallback arm still
+    competes by estimate only."""
     import dataclasses as _dc
     k_eff = config.k if k is None else k
     costs = current_costs()
     subs = ((config.subpack_min_nnz, 0) if config.subpack_min_nnz
             else (0,))
     table = {}
-    kept = []   # (ms, alpha, delta, sub, plan) — n_keep best by estimate
-    n_keep = max(1, int(refine_top))
+    # per-(delta, sub) family best: family -> (ms, alpha, delta, sub, plan)
+    fam_best = {}
     seen_perms = set()
     for alpha in alphas:
         reord = row_reorder_fn(alpha)
@@ -277,15 +284,20 @@ def choose_config(csr: CSR, row_reorder_fn, config: SddmmConfig,
                 ms = estimate_plan_ms(plan, costs,
                                       out_dtype=config.out_dtype)
                 table[(alpha, d, sub)] = ms
-                kept.append((ms, alpha, d, sub, plan))
-                kept.sort(key=lambda t: t[0])
-                del kept[n_keep:]   # release non-contender plans
+                # without refinement only the global best plan is
+                # retained (memory: plans are the big objects); with it,
+                # one plan per family stays alive for the measured pass
+                fam = (d, sub) if refine_top >= 2 else "best"
+                cur = fam_best.get(fam)
+                if cur is None or ms < cur[0]:
+                    fam_best[fam] = (ms, alpha, d, sub, plan)
+    kept = sorted(fam_best.values(), key=lambda t: t[0])
     if refine_top >= 2 and len(kept) >= 2:
-        measured = _refine_measure(kept, config, k_eff)
+        measured = _refine_measure(kept[:int(refine_top)], config, k_eff)
         if measured:   # (ms, alpha, d, sub, plan) by measured time
             for ms, alpha, d, sub, _ in measured:
                 table[("measured", alpha, d, sub)] = ms
-            kept = measured
+            kept = measured + kept[int(refine_top):]
     best = kept[0]
     use_dense = False
     estimated = best[0]
