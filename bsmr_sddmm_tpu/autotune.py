@@ -253,14 +253,16 @@ def choose_config(csr: CSR, row_reorder_fn, config: SddmmConfig,
     mode times every config on hardware, src/sddmm.cu:62-118) at a
     fraction of the sweep cost — candidate executables come from the
     persistent compile cache after the first run. The candidate set is
-    DIVERSIFIED, not top-N-by-estimate: the best-priced plan of each
-    (delta, subpack) family, N families by family-best estimate. The
-    model's within-family (alpha) ordering is reliable; its
-    cross-family comparison is exactly where the overlap bias lives
-    (measured round 5: a top-3-by-estimate set drawn from one delta
-    family left a 2x-better other-family plan untimed,
-    results/v5e_r5/refine_pick.json). The dense-fallback arm still
-    competes by estimate only."""
+    DIVERSIFIED, not top-N-by-estimate: the union of the best-priced
+    plan per (delta, subpack) family and the best-priced plan per
+    alpha, capped at N by estimate order — the model's bias is not
+    confined to one axis (measured round 5: a top-3-by-estimate set
+    from one delta family left a 2x-better plan untimed, and on
+    banded_64k K=256 the model mis-orders alphas within one family;
+    results/v5e_r5/refine_pick{,_div}.json). Refinement fixes
+    schedule-variance misses cheaply; the full measured sweep remains
+    the gold standard. The dense-fallback arm still competes by
+    estimate only."""
     import dataclasses as _dc
     k_eff = config.k if k is None else k
     costs = current_costs()
@@ -286,12 +288,21 @@ def choose_config(csr: CSR, row_reorder_fn, config: SddmmConfig,
                 table[(alpha, d, sub)] = ms
                 # without refinement only the global best plan is
                 # retained (memory: plans are the big objects); with it,
-                # one plan per family stays alive for the measured pass
-                fam = (d, sub) if refine_top >= 2 else "best"
-                cur = fam_best.get(fam)
-                if cur is None or ms < cur[0]:
-                    fam_best[fam] = (ms, alpha, d, sub, plan)
-    kept = sorted(fam_best.values(), key=lambda t: t[0])
+                # the per-family and per-alpha bests stay alive for the
+                # measured pass
+                if refine_top >= 2:
+                    fams = ((d, sub), ("alpha", alpha))
+                else:
+                    fams = ("best",)
+                for fam in fams:
+                    cur = fam_best.get(fam)
+                    if cur is None or ms < cur[0]:
+                        fam_best[fam] = (ms, alpha, d, sub, plan)
+    # union-dedup (one plan can head several families)
+    uniq = {}
+    for entry in fam_best.values():
+        uniq[entry[1:4]] = entry
+    kept = sorted(uniq.values(), key=lambda t: t[0])
     if refine_top >= 2 and len(kept) >= 2:
         measured = _refine_measure(kept[:int(refine_top)], config, k_eff)
         if measured:   # (ms, alpha, d, sub, plan) by measured time
