@@ -4,6 +4,9 @@
 # loop relaunches it; resume = skip-existing logs. All args pass through.
 set -u
 cd /root/repo
+# survive a lost editable install (round-4 env reset): the package
+# imports from the repo root regardless of pip state
+export PYTHONPATH="/root/repo${PYTHONPATH:+:$PYTHONPATH}"
 rc=3
 n=0
 while [ "$rc" -eq 3 ] && [ "$n" -lt 20 ]; do
